@@ -1,0 +1,31 @@
+"""Test configuration: force a virtual 8-device CPU mesh before jax loads.
+
+Mirrors the survey's test plan (SURVEY.md §4): unit and oracle tests run on
+CPU with `xla_force_host_platform_device_count=8` so multi-chip sharding is
+exercised without TPU hardware, and x64 is enabled so reference-grade f64
+numerics (bundle adjustment, pose composition) are testable.
+"""
+
+import os
+
+# Must happen before the first backend initialization. The sandbox's
+# sitecustomize force-registers the axon TPU plugin and sets
+# JAX_PLATFORMS=axon, so plain setdefault is not enough — override hard.
+os.environ["JAX_PLATFORMS"] = "cpu"
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (flags + " --xla_force_host_platform_device_count=8").strip()
+os.environ.setdefault("JAX_ENABLE_X64", "1")
+
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_enable_x64", True)
+
+import numpy as np  # noqa: E402
+import pytest  # noqa: E402
+
+
+@pytest.fixture
+def rng():
+    return np.random.default_rng(0)
