@@ -1,0 +1,161 @@
+"""Two-view relative pose estimation.
+
+TPU-native counterpart of /root/reference/src/odometry/pose.rs. The functional
+core `estimate_relative_pose` is fully jittable (fixed shapes, masks, a
+validity flag instead of Err returns) and is what the batched VO pipeline
+uses; the `PoseEstimator` class mirrors the reference's eager API including
+its error behavior (pose.rs:52-59, 106-108).
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from ..ops.epipolar import recover_pose_from_essential, sampson_error
+from ..ops.ransac import RansacConfig, RansacResult, ransac_essential
+from .camera import CameraIntrinsics
+
+__all__ = ["PoseEstimator", "RelativePose", "estimate_relative_pose", "extract_matched_points"]
+
+MIN_MATCHES = 8  # pose.rs:21
+
+
+class RelativePose(NamedTuple):
+    rotation: jnp.ndarray  # [3, 3]
+    translation: jnp.ndarray  # [3] unit norm
+    num_inliers: jnp.ndarray  # int32
+    valid: jnp.ndarray  # bool — >= MIN_MATCHES inliers and enough input matches
+    inliers: jnp.ndarray  # [N] bool
+
+
+def extract_matched_points(kp1, kp2, train_idx, mask):
+    """Gather matched pixel pairs (pose.rs:27-44), static-shape version.
+
+    kp1 [N, 2] query keypoint pixels, kp2 [M, 2] train keypoint pixels,
+    train_idx [N] from the matcher, mask [N] live matches. Returns
+    (points1 [N, 2], points2 [N, 2], mask): row i pairs kp1[i] with
+    kp2[train_idx[i]]; dead rows stay in place and are excluded by the mask.
+    """
+    return kp1, kp2[train_idx], mask
+
+
+def estimate_relative_pose(
+    key,
+    intrinsics: CameraIntrinsics,
+    points1,
+    points2,
+    mask=None,
+    config: RansacConfig = RansacConfig(),
+):
+    """Full two-view pose: RANSAC essential + cheirality-voted (R, t).
+
+    points1/points2 are PIXEL coordinates [N, 2] of matched pairs (view 1 /
+    view 2); mask [N] marks live pairs. Matches the OpenCV convention:
+    p2 = R p1 + t with |t| = 1.
+
+    Jit-safe: failures (too few matches/inliers) surface as valid=False with
+    identity rotation and zero translation — the masked-identity-motion
+    failure handling the survey prescribes for batched steps (SURVEY.md §5).
+    """
+    points1 = jnp.asarray(points1)
+    n = points1.shape[0]
+    mask = jnp.ones((n,), bool) if mask is None else jnp.asarray(mask, bool)
+
+    norm1 = intrinsics.normalize(points1)
+    norm2 = intrinsics.normalize(jnp.asarray(points2))
+    threshold_norm = config.threshold / float(intrinsics.fx)
+
+    result: RansacResult = ransac_essential(
+        key, norm1, norm2, mask=mask, threshold_norm=threshold_norm, config=config
+    )
+
+    rotation, translation, _ = recover_pose_from_essential(
+        result.essential, norm1, norm2, mask=result.inliers
+    )
+
+    # recoverPose counts only points passing cheirality among the inliers;
+    # the reference then requires >= 8 (pose.rs:106-108). We approximate the
+    # recount with the RANSAC inlier count (cheirality winners are a subset).
+    enough_input = jnp.sum(mask.astype(jnp.int32)) >= MIN_MATCHES
+    valid = enough_input & (result.num_inliers >= MIN_MATCHES)
+
+    eye = jnp.eye(3, dtype=rotation.dtype)
+    zero = jnp.zeros((3,), dtype=translation.dtype)
+    rotation = jnp.where(valid, rotation, eye)
+    translation = jnp.where(valid, translation, zero)
+
+    return RelativePose(
+        rotation=rotation,
+        translation=translation,
+        num_inliers=result.num_inliers,
+        valid=valid,
+        inliers=result.inliers,
+    )
+
+
+class PoseEstimator:
+    """Eager wrapper mirroring pose.rs:11-115 (errors instead of flags)."""
+
+    def __init__(self, intrinsics: CameraIntrinsics, min_matches: int = MIN_MATCHES):
+        self.intrinsics = intrinsics
+        self.min_matches = min_matches
+        self._key = jax.random.PRNGKey(0)
+
+    def _next_key(self):
+        self._key, sub = jax.random.split(self._key)
+        return sub
+
+    def extract_matched_points(self, kp1, kp2, matches):
+        """matches: a `Matches` namedtuple from FeatureMatcher."""
+        import numpy as np
+
+        kp1 = np.asarray(kp1)
+        kp2 = np.asarray(kp2)
+        live = np.asarray(matches.mask)
+        return kp1[live], kp2[np.asarray(matches.train_idx)[live]]
+
+    def compute_essential_matrix(self, points1, points2, config: RansacConfig = RansacConfig()):
+        """RANSAC essential matrix; raises on insufficient points (pose.rs:52-59)."""
+        points1 = jnp.asarray(points1)
+        points2 = jnp.asarray(points2)
+        if points1.shape[0] < self.min_matches or points2.shape[0] < self.min_matches:
+            raise ValueError(
+                f"Insufficient points: {points1.shape[0]} (need {self.min_matches})"
+            )
+        norm1 = self.intrinsics.normalize(points1)
+        norm2 = self.intrinsics.normalize(points2)
+        result = ransac_essential(
+            self._next_key(),
+            norm1,
+            norm2,
+            threshold_norm=config.threshold / float(self.intrinsics.fx),
+            config=config,
+        )
+        return result
+
+    def recover_pose(self, essential_or_result, points1, points2):
+        """(R, t) with cheirality disambiguation; raises on < min_matches
+        inliers (pose.rs:106-108)."""
+        if isinstance(essential_or_result, RansacResult):
+            essential = essential_or_result.essential
+            inlier_mask = essential_or_result.inliers
+        else:
+            essential = jnp.asarray(essential_or_result)
+            inlier_mask = None
+        norm1 = self.intrinsics.normalize(jnp.asarray(points1))
+        norm2 = self.intrinsics.normalize(jnp.asarray(points2))
+        if inlier_mask is None:
+            err = sampson_error(essential, norm1, norm2)
+            inlier_mask = err < (1.0 / float(self.intrinsics.fx)) ** 2
+        rotation, translation, votes = recover_pose_from_essential(
+            essential, norm1, norm2, mask=inlier_mask
+        )
+        inliers = int(jnp.max(votes))
+        if inliers < self.min_matches:
+            raise ValueError(f"Too few inliers: {inliers}")
+        import numpy as np
+
+        return np.asarray(rotation), np.asarray(translation)
