@@ -1,0 +1,67 @@
+"""Batched image pyramids and Gaussian blur.
+
+Support ops for the ORB detector (counterpart of the pyramid OpenCV builds
+inside ORB::detectAndCompute for /root/reference/src/feature/detector.rs:26-40:
+8 levels, scale factor 1.2, bilinear resize, 7x7 sigma=2 blur before BRIEF).
+
+Each pyramid level has its own static shape; the level loop unrolls at trace
+time so XLA sees 8 fixed-shape programs. All ops are batched over a leading
+[B] axis and run on the VPU/MXU (separable convs).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+__all__ = ["pyramid_shapes", "build_pyramid", "gaussian_blur"]
+
+
+def pyramid_shapes(height: int, width: int, n_levels: int, scale_factor: float = 1.2):
+    """Static per-level (H, W) shapes, OpenCV-style rounding."""
+    shapes = []
+    for level in range(n_levels):
+        scale = scale_factor**level
+        shapes.append((int(round(height / scale)), int(round(width / scale))))
+    return shapes
+
+
+def build_pyramid(images, n_levels: int = 8, scale_factor: float = 1.2):
+    """[B, H, W] float -> list of n_levels arrays [B, H_l, W_l].
+
+    Level 0 is the input; each level resizes from the ORIGINAL image (like
+    OpenCV ORB) with bilinear interpolation.
+    """
+    b, h, w = images.shape
+    levels = [images]
+    for hl, wl in pyramid_shapes(h, w, n_levels, scale_factor)[1:]:
+        levels.append(jax.image.resize(images, (b, hl, wl), method="linear"))
+    return levels
+
+
+@functools.partial(jax.jit, static_argnames=("ksize", "sigma"))
+def gaussian_blur(images, ksize: int = 7, sigma: float = 2.0):
+    """Separable Gaussian blur, replicate padding ([B, H, W] -> same shape).
+
+    Matches the pre-BRIEF blur OpenCV ORB applies (GaussianBlur 7x7, sigma 2,
+    BORDER_REFLECT_101 — we use edge-replicate; the boundary regime is
+    excluded by the detector's border margin anyway).
+    """
+    half = ksize // 2
+    x = np.arange(-half, half + 1, dtype=np.float64)
+    k = np.exp(-(x * x) / (2.0 * sigma * sigma))
+    k /= k.sum()
+    kernel = jnp.asarray(k, images.dtype)
+
+    padded = jnp.pad(images, ((0, 0), (half, half), (0, 0)), mode="edge")
+    rows = jnp.zeros_like(images)
+    for i in range(ksize):
+        rows = rows + kernel[i] * jax.lax.slice_in_dim(padded, i, i + images.shape[1], axis=1)
+    padded = jnp.pad(rows, ((0, 0), (0, 0), (half, half)), mode="edge")
+    out = jnp.zeros_like(images)
+    for i in range(ksize):
+        out = out + kernel[i] * jax.lax.slice_in_dim(padded, i, i + images.shape[2], axis=2)
+    return out
