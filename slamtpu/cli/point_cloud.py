@@ -1,0 +1,74 @@
+"""Point-cloud mapping CLI, mirroring examples/point_cloud.rs.
+
+Usage:
+  python -m slamtpu.cli.point_cloud <input> [--max-features N] [--ba-interval N]
+      [--prune-interval N] [--max-frames N]
+
+Outputs point_cloud.ply, point_cloud.json, trajectory_output.json like the
+reference (point_cloud.rs:859-898).
+"""
+
+from __future__ import annotations
+
+import argparse
+import time
+
+
+def main(argv=None):
+    parser = argparse.ArgumentParser(description="slamtpu point cloud mapping")
+    parser.add_argument("input")
+    parser.add_argument("--max-features", type=int, default=3000)  # point_cloud.rs:97
+    parser.add_argument("--max-frames", type=int)
+    parser.add_argument("--chunk", type=int, default=32)
+    parser.add_argument("--ba-interval", type=int, default=5)
+    parser.add_argument("--ba-window", type=int, default=5)
+    parser.add_argument("--prune-interval", type=int, default=10)
+    parser.add_argument("--map-capacity", type=int, default=65536)
+    parser.add_argument("--seed", type=int, default=0)
+    args = parser.parse_args(argv)
+
+    import dataclasses
+
+    from ..feature.detector import OrbConfig
+    from ..io.video import load_frames
+    from ..mapping.keyframe import KeyframeConfig
+    from ..odometry.camera import CameraIntrinsics
+    from ..pipeline.point_cloud import PointCloudConfig, run_point_cloud
+    from ..pipeline.vo import VoConfig
+
+    frames, cam, fps = load_frames(args.input, max_frames=args.max_frames)
+    cam = cam or CameraIntrinsics.kitti()
+    print(f"Loaded {frames.shape[0]} frames {frames.shape[1]}x{frames.shape[2]}")
+
+    config = PointCloudConfig(
+        vo=VoConfig(
+            orb=OrbConfig(max_features=args.max_features),
+            keyframe=KeyframeConfig(0.03, 0.03, 0.7, 3),  # point_cloud.rs:113-119
+            fps=fps,
+        ),
+        ba_interval=args.ba_interval,
+        ba_window=args.ba_window,
+        prune_interval=args.prune_interval,
+        map_capacity=args.map_capacity,
+    )
+    start = time.time()
+    result = run_point_cloud(frames, cam, config, chunk_size=args.chunk, seed=args.seed)
+    elapsed = time.time() - start
+
+    # Summary mirroring point_cloud.rs:497-510.
+    print("\nSummary")
+    print(f"Frames: {result.total_frames}")
+    print(f"Keyframes: {result.keyframe_rotations.shape[0]}")
+    stable = result.stable_points()
+    print(f"3D map points: {len(result.points())} ({len(stable)} stable)")
+    print(f"Distance: {result.trajectory.total_distance():.2f}m")
+    print(f"Bundle Adjustment runs: {result.ba_runs}")
+    print(f"Time: {elapsed:.2f}s")
+    print(f"Avg FPS: {result.total_frames / elapsed:.2f}")
+
+    result.save()
+    print("saved: point_cloud.ply, point_cloud.json, trajectory_output.json")
+
+
+if __name__ == "__main__":
+    main()

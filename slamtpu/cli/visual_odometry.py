@@ -1,0 +1,69 @@
+"""Full VO pipeline CLI, mirroring examples/visual_odometry.rs.
+
+Usage:
+  python -m slamtpu.cli.visual_odometry <input> [--fx F --fy F --cx F --cy F]
+      [--max-features N] [--chunk N] [--output trajectory_output.json]
+
+<input>: video file, image directory, "synthetic:<T>[x<H>x<W>]", or .npy.
+The reference's hand-rolled --fx/--fy/--cx/--cy parsing
+(visual_odometry.rs:244-283) becomes argparse; defaults are the KITTI preset
+like the reference.
+"""
+
+from __future__ import annotations
+
+import argparse
+import time
+
+import numpy as np
+
+
+def main(argv=None):
+    parser = argparse.ArgumentParser(description="slamtpu visual odometry")
+    parser.add_argument("input")
+    parser.add_argument("--fx", type=float)
+    parser.add_argument("--fy", type=float)
+    parser.add_argument("--cx", type=float)
+    parser.add_argument("--cy", type=float)
+    parser.add_argument("--max-features", type=int, default=1000)  # example default (:57)
+    parser.add_argument("--max-frames", type=int)
+    parser.add_argument("--chunk", type=int, default=64)
+    parser.add_argument("--seed", type=int, default=0)
+    parser.add_argument("--output", default="trajectory_output.json")
+    args = parser.parse_args(argv)
+
+    from ..feature.detector import OrbConfig
+    from ..io.video import load_frames
+    from ..odometry.camera import CameraIntrinsics
+    from ..pipeline.vo import VoConfig, run_vo
+
+    frames, cam, fps = load_frames(args.input, max_frames=args.max_frames)
+    if args.fx is not None:
+        cam = CameraIntrinsics(args.fx, args.fy or args.fx, args.cx or 0.0, args.cy or 0.0)
+    elif cam is None:
+        cam = CameraIntrinsics.kitti()
+    print(f"Loaded {frames.shape[0]} frames {frames.shape[1]}x{frames.shape[2]}")
+    print(f"Intrinsics: fx={cam.fx} fy={cam.fy} cx={cam.cx} cy={cam.cy}")
+
+    config = VoConfig(orb=OrbConfig(max_features=args.max_features), fps=fps)
+    start = time.time()
+    run = run_vo(frames, cam, config, chunk_size=args.chunk, seed=args.seed)
+    elapsed = time.time() - start
+
+    # Summary block mirroring visual_odometry.rs:224-239.
+    print("\nSummary")
+    print(f"Total frames: {run.total_frames}")
+    print(f"Successful poses: {run.successful_frames}")
+    print(f"Failed poses: {run.failed_frames}")
+    print(f"Keyframes selected: {run.keyframe_count}")
+    print(f"Keyframe ratio: {100.0 * run.keyframe_ratio:.1f}%")
+    print(f"Total distance: {run.trajectory.total_distance():.2f}m")
+    print(f"Total time: {elapsed:.2f}s")
+    print(f"Average FPS: {run.total_frames / elapsed:.2f}")
+
+    run.trajectory.save_to_file(args.output)
+    print(f"\nTrajectory saved to: {args.output}")
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,138 @@
+"""Synthetic 3D scene renderer with ground-truth trajectories.
+
+Test/bench data source: the environment has no KITTI sequences and no video
+files, so end-to-end fidelity (ATE vs the cv2 oracle pipeline, SURVEY.md §6)
+is measured on rendered sequences with exact ground truth. The renderer
+splats Gaussian sprites from a fixed 3D landmark field through a moving
+pinhole camera — enough parallax and corner texture for ORB/FAST while
+staying a few lines of numpy.
+
+Camera convention matches the rest of the stack: pose (R, t) is
+world-to-camera, p_cam = R @ p_world + t; the camera path is returned as both
+per-frame absolute poses and frame-to-frame relative motions (p2 = R_rel p1
++ t_rel, the OpenCV recoverPose convention).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import numpy as np
+
+from ..odometry.camera import CameraIntrinsics
+
+__all__ = ["SyntheticScene", "render_sequence", "forward_path"]
+
+
+@dataclasses.dataclass
+class SyntheticScene:
+    frames: np.ndarray  # [T, H, W] uint8
+    rotations: np.ndarray  # [T, 3, 3] world-to-camera
+    translations: np.ndarray  # [T, 3]
+    rel_rotations: np.ndarray  # [T-1, 3, 3] (p_next = R p_cur + t)
+    rel_translations: np.ndarray  # [T-1, 3]
+    points: np.ndarray  # [N, 3] world landmarks
+    intrinsics: CameraIntrinsics
+
+
+def _rot_y(angle):
+    c, s = np.cos(angle), np.sin(angle)
+    return np.array([[c, 0.0, s], [0.0, 1.0, 0.0], [-s, 0.0, c]])
+
+
+def forward_path(n_frames: int, step: float = 0.3, yaw_rate: float = 0.002):
+    """KITTI-like path: camera drives forward (+z in world) with gentle yaw.
+
+    Returns world-to-camera (R, t) per frame.
+    """
+    rotations = np.zeros((n_frames, 3, 3))
+    translations = np.zeros((n_frames, 3))
+    heading = 0.0
+    position = np.zeros(3)
+    for i in range(n_frames):
+        r_wc = _rot_y(heading).T  # world-to-camera
+        rotations[i] = r_wc
+        translations[i] = -r_wc @ position
+        direction = _rot_y(heading) @ np.array([0.0, 0.0, 1.0])
+        position = position + step * direction
+        heading += yaw_rate
+    return rotations, translations
+
+
+def render_sequence(
+    n_frames: int = 30,
+    height: int = 240,
+    width: int = 320,
+    n_points: int = 600,
+    step: float = 0.3,
+    yaw_rate: float = 0.002,
+    intrinsics: CameraIntrinsics | None = None,
+    seed: int = 0,
+    noise: float = 2.0,
+) -> SyntheticScene:
+    """Render a forward-driving sequence through a random landmark corridor."""
+    rng = np.random.default_rng(seed)
+    cam = intrinsics or CameraIntrinsics(
+        fx=0.9 * width, fy=0.9 * width, cx=width / 2.0, cy=height / 2.0
+    )
+
+    # Landmark corridor along +z, spread laterally and vertically.
+    length = n_frames * step + 40.0
+    points = np.stack(
+        [
+            rng.uniform(-12.0, 12.0, n_points),
+            rng.uniform(-6.0, 6.0, n_points),
+            rng.uniform(2.0, length, n_points),
+        ],
+        axis=1,
+    )
+    intensities = rng.uniform(60.0, 255.0, n_points)
+    sizes = rng.uniform(0.05, 0.25, n_points)  # world-space sprite radii
+
+    rotations, translations = forward_path(n_frames, step, yaw_rate)
+
+    frames = np.full((n_frames, height, width), 96.0, np.float32)
+    yy, xx = np.mgrid[0:height, 0:width].astype(np.float32)
+    for f in range(n_frames):
+        p_cam = points @ rotations[f].T + translations[f]
+        z = p_cam[:, 2]
+        vis = z > 0.5
+        u = cam.fx * (p_cam[:, 0] / z) + cam.cx
+        v = cam.fy * (p_cam[:, 1] / z) + cam.cy
+        radius = cam.fx * sizes / z
+        inside = vis & (u > -10) & (u < width + 10) & (v > -10) & (v < height + 10)
+        img = frames[f]
+        for idx in np.nonzero(inside)[0]:
+            r = max(float(radius[idx]), 0.7)
+            half = int(np.ceil(3 * r))
+            x0, x1 = int(u[idx]) - half, int(u[idx]) + half + 1
+            y0, y1 = int(v[idx]) - half, int(v[idx]) + half + 1
+            sx0, sx1 = max(x0, 0), min(x1, width)
+            sy0, sy1 = max(y0, 0), min(y1, height)
+            if sx0 >= sx1 or sy0 >= sy1:
+                continue
+            wy = yy[sy0:sy1, sx0:sx1] - v[idx]
+            wx = xx[sy0:sy1, sx0:sx1] - u[idx]
+            splat = np.exp(-(wx * wx + wy * wy) / (2.0 * r * r))
+            img[sy0:sy1, sx0:sx1] = np.maximum(
+                img[sy0:sy1, sx0:sx1], 96.0 + (intensities[idx] - 96.0) * splat
+            )
+        if noise:
+            img += rng.normal(0.0, noise, img.shape).astype(np.float32)
+
+    frames = np.clip(frames, 0, 255).astype(np.uint8)
+
+    # Frame-to-frame relative motion: T_rel = T_next @ T_cur^-1 restricted to
+    # (R, t): R_rel = R_next R_cur^T, t_rel = t_next - R_rel t_cur.
+    rel_r = np.einsum("tij,tkj->tik", rotations[1:], rotations[:-1])
+    rel_t = translations[1:] - np.einsum("tij,tj->ti", rel_r, translations[:-1])
+
+    return SyntheticScene(
+        frames=frames,
+        rotations=rotations,
+        translations=translations,
+        rel_rotations=rel_r,
+        rel_translations=rel_t,
+        points=points,
+        intrinsics=cam,
+    )

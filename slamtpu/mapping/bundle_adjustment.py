@@ -1,0 +1,402 @@
+"""Sparse bundle adjustment: Levenberg-Marquardt with Schur elimination.
+
+TPU-native counterpart of /root/reference/src/mapping/bundle_adjustment.rs —
+the reference's one hand-written native solver. The per-observation HashMap
+block assembly (:204-256) becomes vmapped residual/Jacobian math +
+`segment_sum` into [P,6,6]/[L,3,3] block diagonals and a dense [P,L,6,3]
+pose-landmark coupling tensor; the Schur reduction and back-substitution
+(:258-362) become einsums; the LM loop is a `lax.while_loop` with fixed
+maximum iterations.
+
+Deliberate fixes over the reference (SURVEY.md §2/§3.2 says fix, then verify
+against reprojection error, not iterate-for-iterate):
+  * Huber IRLS weighting is consistent (the reference accumulates (wJ)^T J
+    against (wJ)^T (wr), mixing weight powers, :229-253). We use the standard
+    w = min(1, delta/|r|) on both sides.
+  * The Schur complement includes the pose-pose coupling blocks
+    S[i1,i2] = -sum_j W[i1,j] Hll_j^-1 W[i2,j]^T; the reference subtracts
+    only diagonal blocks (:286-294), decoupling poses entirely.
+  * fix_first_pose is an exact gauge fix (row/col zeroed after reduction,
+    identity block, zero rhs); the reference overwrites the block before
+    reduction and then lets Schur/damping modify it again (:273-277).
+  * On divergence (error > 1.5x previous) the update is ROLLED BACK and the
+    loop stops; the reference keeps the divergent update while reporting the
+    previous error (:364-369).
+
+Reference behaviors preserved: Huber delta 2 px (:66), strong damping
+lambda*10 on the pose diagonal only (:310-315), singular-H_ll fallback
+inverse 1e6*I (:282-284 — harmless exactly where it triggers, W rows are
+zero there), convergence on |d err| < 1e-6 (:370-376), error metric =
+sum of huber_loss over valid projections (:159-186).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..odometry.camera import CameraIntrinsics
+from ..ops.lie import so3_exp
+
+__all__ = ["Observation", "ObservationBatch", "BundleAdjuster", "ba_solve", "compute_total_error"]
+
+
+@dataclasses.dataclass
+class Observation:
+    """Eager observation mirroring bundle_adjustment.rs:24-39."""
+
+    keyframe_idx: int
+    point_idx: int
+    pixel: np.ndarray  # [2]
+
+
+class ObservationBatch(NamedTuple):
+    """Fixed-shape observation set."""
+
+    kf_idx: jnp.ndarray  # [M] int32
+    pt_idx: jnp.ndarray  # [M] int32
+    pixels: jnp.ndarray  # [M, 2]
+    mask: jnp.ndarray  # [M] bool
+
+    @staticmethod
+    def from_list(observations, dtype=jnp.float64):
+        if not observations:
+            return ObservationBatch(
+                jnp.zeros((0,), jnp.int32),
+                jnp.zeros((0,), jnp.int32),
+                jnp.zeros((0, 2), dtype),
+                jnp.zeros((0,), bool),
+            )
+        return ObservationBatch(
+            kf_idx=jnp.asarray([o.keyframe_idx for o in observations], jnp.int32),
+            pt_idx=jnp.asarray([o.point_idx for o in observations], jnp.int32),
+            pixels=jnp.asarray(np.stack([np.asarray(o.pixel, float) for o in observations]), dtype),
+            mask=jnp.ones((len(observations),), bool),
+        )
+
+
+@dataclasses.dataclass(frozen=True)
+class BaConfig:
+    max_iterations: int = 10  # bundle_adjustment.rs:63
+    lam: float = 1e-3  # :64
+    min_error_change: float = 1e-6  # :65
+    huber_delta: float = 2.0  # :66
+
+
+def _huber_loss(r_norm, delta):
+    """bundle_adjustment.rs:42-49: r^2 below delta, 2*delta*|r| - delta^2 above."""
+    rsq = r_norm * r_norm
+    return jnp.where(r_norm <= delta, rsq, 2.0 * delta * r_norm - delta * delta)
+
+
+def _project_and_residual(intrinsics, rotations, translations, points, obs):
+    """Per-observation camera point, residual, and validity (z > 1e-6)."""
+    r = rotations[obs.kf_idx]  # [M, 3, 3]
+    t = translations[obs.kf_idx]  # [M, 3]
+    x = points[obs.pt_idx]  # [M, 3]
+    p_cam = jnp.einsum("mij,mj->mi", r, x) + t
+    z = p_cam[:, 2]
+    valid = obs.mask & (z > 1e-6)
+    z_safe = jnp.where(valid, z, 1.0)
+    u = intrinsics.fx * (p_cam[:, 0] / z_safe) + intrinsics.cx
+    v = intrinsics.fy * (p_cam[:, 1] / z_safe) + intrinsics.cy
+    residual = jnp.stack([u, v], axis=-1) - obs.pixels
+    return p_cam, z_safe, residual, valid
+
+
+def compute_total_error(intrinsics, rotations, translations, points, obs, huber_delta=2.0):
+    """Sum of Huber losses over valid projections (bundle_adjustment.rs:159-186)."""
+    _, _, residual, valid = _project_and_residual(intrinsics, rotations, translations, points, obs)
+    r_norm = jnp.linalg.norm(residual, axis=-1)
+    return jnp.sum(jnp.where(valid, _huber_loss(r_norm, huber_delta), 0.0))
+
+
+def pose_point_jacobians(intrinsics, rotation, translation, point):
+    """Analytic Jacobians for one observation: (j_pose [2,6], j_point [2,3]).
+
+    Same formulas the solver uses inline (bundle_adjustment.rs:102-157):
+    left-perturbation SE(3) with d p_cam/d omega = -[R X]x, translation block
+    = d pixel/d p_cam. Exposed for the numerical-Jacobian test mirroring
+    bundle_adjustment.rs:409-432.
+    """
+    rotation = jnp.asarray(rotation)
+    dtype = rotation.dtype
+    translation = jnp.asarray(translation, dtype)
+    point = jnp.asarray(point, dtype)
+    p_cam = rotation @ point + translation
+    x, y, z = p_cam
+    fx = jnp.asarray(intrinsics.fx, dtype)
+    fy = jnp.asarray(intrinsics.fy, dtype)
+    j_proj = jnp.array(
+        [[fx / z, 0.0, -fx * x / (z * z)], [0.0, fy / z, -fy * y / (z * z)]], dtype
+    )
+    rx = rotation @ point
+    hat = jnp.array(
+        [[0.0, -rx[2], rx[1]], [rx[2], 0.0, -rx[0]], [-rx[1], rx[0], 0.0]], dtype
+    )
+    j_pose = jnp.concatenate([-j_proj @ hat, j_proj], axis=1)
+    j_point = j_proj @ rotation
+    return j_pose, j_point
+
+
+def ba_solve(
+    intrinsics: CameraIntrinsics,
+    rotations,
+    translations,
+    points,
+    obs: ObservationBatch,
+    config: BaConfig = BaConfig(),
+    fix_first_pose: bool = True,
+    pose_mask=None,
+):
+    """Run LM with Schur elimination. Returns (rotations, translations,
+    points, final_error, iterations_run).
+
+    pose_mask [P] bool: poses whose parameters may move (local BA freezes
+    out-of-window poses); None = all free (except the gauge fix).
+    All inputs are promoted to a common float dtype; f64 recommended on CPU,
+    f32 works on TPU for the problem scales the reference targets.
+    """
+    rotations = jnp.asarray(rotations)
+    dtype = rotations.dtype
+    translations = jnp.asarray(translations, dtype)
+    points = jnp.asarray(points, dtype)
+    n_poses = rotations.shape[0]
+    n_points = points.shape[0]
+    m = obs.pixels.shape[0]
+    if m == 0 or n_poses == 0:
+        return rotations, translations, points, jnp.zeros((), dtype), jnp.zeros((), jnp.int32)
+
+    obs = ObservationBatch(obs.kf_idx, obs.pt_idx, jnp.asarray(obs.pixels, dtype), obs.mask)
+    free = (
+        jnp.ones((n_poses,), bool) if pose_mask is None else jnp.asarray(pose_mask, bool)
+    )
+
+    fx = jnp.asarray(intrinsics.fx, dtype)
+    fy = jnp.asarray(intrinsics.fy, dtype)
+    delta = config.huber_delta
+    lam_damp = config.lam * 10.0  # bundle_adjustment.rs:313
+
+    def error_of(state):
+        r, t, x = state
+        return compute_total_error(intrinsics, r, t, x, obs, delta)
+
+    def one_iteration(rotations, translations, points):
+        p_cam, z_safe, residual, valid = _project_and_residual(
+            intrinsics, rotations, translations, points, obs
+        )
+        r_norm = jnp.linalg.norm(residual, axis=-1)
+        # Consistent Huber IRLS weight (see module docstring).
+        w = jnp.where(r_norm > delta, delta / jnp.maximum(r_norm, 1e-12), 1.0)
+        w = jnp.where(valid, w, 0.0)
+
+        x_c, y_c = p_cam[:, 0], p_cam[:, 1]
+        z = z_safe
+        z2 = z * z
+        zero = jnp.zeros_like(z)
+        j_proj = jnp.stack(
+            [
+                jnp.stack([fx / z, zero, -fx * x_c / z2], axis=-1),
+                jnp.stack([zero, fy / z, -fy * y_c / z2], axis=-1),
+            ],
+            axis=-2,
+        )  # [M, 2, 3]
+
+        rot_m = rotations[obs.kf_idx]
+        # Reference perturbs R alone: cross term uses R @ X (no +t), :134-152.
+        rx = jnp.einsum("mij,mj->mi", rot_m, points[obs.pt_idx])
+        def hat_rows(v):
+            zz = jnp.zeros_like(v[:, 0])
+            return jnp.stack(
+                [
+                    jnp.stack([zz, -v[:, 2], v[:, 1]], axis=-1),
+                    jnp.stack([v[:, 2], zz, -v[:, 0]], axis=-1),
+                    jnp.stack([-v[:, 1], v[:, 0], zz], axis=-1),
+                ],
+                axis=-2,
+            )
+        j_rot = -jnp.einsum("mab,mbc->mac", j_proj, hat_rows(rx))  # [M, 2, 3]
+        j_pose = jnp.concatenate([j_rot, j_proj], axis=-1)  # [M, 2, 6]
+        j_point = jnp.einsum("mab,mbc->mac", j_proj, rot_m)  # [M, 2, 3]
+
+        # Weighted normal-equation blocks.
+        wj_pose = j_pose * w[:, None, None]
+        wj_point = j_point * w[:, None, None]
+        h_pp = jax.ops.segment_sum(
+            jnp.einsum("mai,maj->mij", wj_pose, j_pose), obs.kf_idx, n_poses
+        )  # [P, 6, 6]
+        h_ll = jax.ops.segment_sum(
+            jnp.einsum("mai,maj->mij", wj_point, j_point), obs.pt_idx, n_points
+        )  # [L, 3, 3]
+        b_p = -jax.ops.segment_sum(
+            jnp.einsum("mai,ma->mi", wj_pose, residual), obs.kf_idx, n_poses
+        )  # [P, 6]
+        b_l = -jax.ops.segment_sum(
+            jnp.einsum("mai,ma->mi", wj_point, residual), obs.pt_idx, n_points
+        )  # [L, 3]
+        w_pl = (
+            jnp.zeros((n_poses, n_points, 6, 3), dtype)
+            .at[obs.kf_idx, obs.pt_idx]
+            .add(jnp.einsum("mai,maj->mij", wj_pose, j_point))
+        )  # [P, L, 6, 3]
+
+        # Freeze out-of-window poses: zero their Jacobian contributions.
+        h_pp = jnp.where(free[:, None, None], h_pp, 0.0)
+        b_p = jnp.where(free[:, None], b_p, 0.0)
+        w_pl = jnp.where(free[:, None, None, None], w_pl, 0.0)
+
+        # Batched 3x3 inverse. The reference substitutes 1e6*I for singular
+        # blocks (:282-284) — catastrophic when the block is merely
+        # rank-deficient (a landmark seen by ONE camera has rank-2 H_ll but
+        # nonzero W, and the 1e6 amplification blows up the Schur system; in
+        # our dense formulation it produced NaNs). Standard LM practice:
+        # damp the landmark diagonal too, making every block invertible.
+        h_ll_damped = h_ll + lam_damp * jnp.eye(3, dtype=dtype)
+        h_ll_inv = jnp.linalg.inv(h_ll_damped)
+
+        # Schur reduction (full, with pose-pose coupling).
+        t_pl = jnp.einsum("pjab,jbc->pjac", w_pl, h_ll_inv)  # [P, L, 6, 3]
+        s_off = jnp.einsum("pjac,qjdc->pqad", t_pl, w_pl)  # [P, P, 6, 6]
+        s = -s_off
+        s = s.at[jnp.arange(n_poses), jnp.arange(n_poses)].add(h_pp)
+        b_red = b_p - jnp.einsum("pjac,jc->pa", t_pl, b_l)  # [P, 6]
+
+        # Gauge fix: pose 0 pinned exactly.
+        if fix_first_pose:
+            s = s.at[0, :].set(0.0).at[:, 0].set(0.0)
+            s = s.at[0, 0].set(jnp.eye(6, dtype=dtype))
+            b_red = b_red.at[0].set(0.0)
+        # Frozen poses likewise get identity rows (zero delta).
+        frozen = ~free
+        eye6 = jnp.eye(6, dtype=dtype)
+        s = jnp.where(frozen[:, None, None, None], 0.0, s)
+        s = jnp.where(frozen[None, :, None, None], 0.0, s)
+        s = s.at[jnp.arange(n_poses), jnp.arange(n_poses)].add(
+            jnp.where(frozen[:, None, None], eye6, 0.0)
+        )
+        b_red = jnp.where(frozen[:, None], 0.0, b_red)
+
+        # Strong damping on the pose diagonal (:310-315).
+        s = s.at[jnp.arange(n_poses), jnp.arange(n_poses)].add(lam_damp * eye6)
+
+        # Dense solve of the reduced pose system.
+        s_mat = s.transpose(0, 2, 1, 3).reshape(n_poses * 6, n_poses * 6)
+        delta_p = jnp.linalg.solve(s_mat, b_red.reshape(-1)).reshape(n_poses, 6)
+
+        # Pose update: R <- exp(dw) R, t += dt (:333-340).
+        new_rot = jnp.einsum("pij,pjk->pik", so3_exp(delta_p[:, :3]), rotations)
+        new_trans = translations + delta_p[:, 3:]
+
+        # Point back-substitution: dx = Hll^-1 (b_l - W^T dp) (:342-362).
+        wtd = jnp.einsum("pjab,pa->jb", w_pl, delta_p)
+        delta_x = jnp.einsum("jbc,jc->jb", h_ll_inv, b_l - wtd)
+        # Points with no (free) observations must not move.
+        observed = jax.ops.segment_sum(w, obs.pt_idx, n_points) > 0
+        delta_x = jnp.where(observed[:, None], delta_x, 0.0)
+        new_points = points + delta_x
+
+        return new_rot, new_trans, new_points
+
+    init_error = error_of((rotations, translations, points))
+
+    def cond(carry):
+        _, _, _, _, it, done = carry
+        return (it < config.max_iterations) & ~done
+
+    def body(carry):
+        rot, trans, pts, prev_error, it, _ = carry
+        new_rot, new_trans, new_pts = one_iteration(rot, trans, pts)
+        new_error = error_of((new_rot, new_trans, new_pts))
+        # NaN-safe: a non-finite error must count as divergence (NaN > x is
+        # False, so the naive comparison would KEEP a poisoned update).
+        diverged = ~(new_error <= prev_error * 1.5)  # :364-369 (we roll back)
+        converged = jnp.abs(prev_error - new_error) < config.min_error_change
+        keep_new = ~diverged
+        rot = jnp.where(keep_new, new_rot, rot)
+        trans = jnp.where(keep_new, new_trans, trans)
+        pts = jnp.where(keep_new, new_pts, pts)
+        err = jnp.where(keep_new, new_error, prev_error)
+        return rot, trans, pts, err, it + 1, diverged | converged
+
+    rot, trans, pts, err, iters, _ = jax.lax.while_loop(
+        cond, body, (rotations, translations, points, init_error, jnp.zeros((), jnp.int32), jnp.zeros((), bool))
+    )
+    return rot, trans, pts, err, iters
+
+
+class BundleAdjuster:
+    """Eager wrapper mirroring bundle_adjustment.rs:51-401."""
+
+    def __init__(self, intrinsics: CameraIntrinsics):
+        self.intrinsics = intrinsics
+        self.config = BaConfig()
+
+    def with_max_iterations(self, n: int) -> "BundleAdjuster":
+        self.config = dataclasses.replace(self.config, max_iterations=n)
+        return self
+
+    def with_lambda(self, lam: float) -> "BundleAdjuster":
+        self.config = dataclasses.replace(self.config, lam=lam)
+        return self
+
+    def with_huber_delta(self, delta: float) -> "BundleAdjuster":
+        self.config = dataclasses.replace(self.config, huber_delta=delta)
+        return self
+
+    def compute_total_error(self, poses, points, observations) -> float:
+        rot, trans, pts, obs = self._pack(poses, points, observations)
+        return float(compute_total_error(self.intrinsics, rot, trans, pts, obs, self.config.huber_delta))
+
+    def optimize(self, poses, points, observations, fix_first_pose: bool):
+        """Returns (new_poses, new_points, final_error). Unlike the reference
+        (which mutates in place and discards results at its point_cloud call
+        site, SURVEY.md §3.2), results are returned for wiring back."""
+        if not observations:
+            return poses, points, 0.0
+        rot, trans, pts, obs = self._pack(poses, points, observations)
+        new_rot, new_trans, new_pts, err, _ = ba_solve(
+            self.intrinsics, rot, trans, pts, obs, self.config, fix_first_pose
+        )
+        new_poses = [
+            (np.asarray(new_rot[i]), np.asarray(new_trans[i])) for i in range(len(poses))
+        ]
+        return new_poses, [np.asarray(p) for p in np.asarray(new_pts)], float(err)
+
+    def local_bundle_adjustment(self, poses, points, observations, window_size: int):
+        """Optimize only the last `window_size` poses (bundle_adjustment.rs:
+        382-401): observations touching older keyframes are dropped, and the
+        first pose is fixed only when the window reaches pose 0."""
+        if not poses:
+            return poses, points, 0.0
+        start_idx = max(len(poses) - window_size, 0)
+        local_obs = [o for o in observations if o.keyframe_idx >= start_idx]
+        if not local_obs:
+            return poses, points, 0.0
+        rot, trans, pts, obs = self._pack(poses, points, local_obs)
+        pose_mask = np.zeros(len(poses), bool)
+        pose_mask[start_idx:] = True
+        new_rot, new_trans, new_pts, err, _ = ba_solve(
+            self.intrinsics,
+            rot,
+            trans,
+            pts,
+            obs,
+            self.config,
+            fix_first_pose=(start_idx == 0),
+            pose_mask=jnp.asarray(pose_mask),
+        )
+        new_poses = [
+            (np.asarray(new_rot[i]), np.asarray(new_trans[i])) for i in range(len(poses))
+        ]
+        return new_poses, [np.asarray(p) for p in np.asarray(new_pts)], float(err)
+
+    def _pack(self, poses, points, observations):
+        dtype = jnp.float64 if jax.config.jax_enable_x64 else jnp.float32
+        rot = jnp.asarray(np.stack([np.asarray(p[0], float) for p in poses]), dtype)
+        trans = jnp.asarray(np.stack([np.asarray(p[1], float).reshape(3) for p in poses]), dtype)
+        pts = jnp.asarray(np.stack([np.asarray(p, float).reshape(3) for p in points]), dtype)
+        return rot, trans, pts, ObservationBatch.from_list(observations, dtype)

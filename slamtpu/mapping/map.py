@@ -1,0 +1,215 @@
+"""Global landmark map as fixed-capacity struct-of-arrays.
+
+TPU-native counterpart of /root/reference/src/mapping/map.rs. The reference's
+HashMap<id, MapPoint> becomes a static-capacity SoA pytree: positions,
+packed descriptors, observation counts, ids, and a validity mask. Insertion
+scatters into free slots, pruning clears the mask, and re-association
+(`find_matches`, map.rs:72-118) reuses the MXU Hamming matcher with the map's
+descriptors as queries — a [capacity, K] distance matmul.
+
+Reference semantics preserved: projection visibility uses z > 0 and the
+rough 0<=x<4000, 0<=y<3000 bounds check (map.rs:90); match filtering uses the
+same max(2*min_dist, 30) rule; observations start at 1 and prune keeps
+observations >= min_observations (default 2, map.rs:26,130-137); ids are
+assigned sequentially on insertion (map.rs:31-37).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..feature.matcher import FeatureMatcher
+from ..odometry.camera import CameraIntrinsics
+from .triangulation import MapPoint
+
+__all__ = ["MapState", "Map", "map_insert", "map_find_matches", "map_update_observations", "map_prune"]
+
+
+class MapState(NamedTuple):
+    positions: jnp.ndarray  # [C, 3]
+    descriptors: jnp.ndarray  # [C, 32] uint8
+    observations: jnp.ndarray  # [C] int32
+    ids: jnp.ndarray  # [C] int32 (-1 = empty slot)
+    valid: jnp.ndarray  # [C] bool
+    next_id: jnp.ndarray  # int32 scalar
+
+    @staticmethod
+    def empty(capacity: int, dtype=jnp.float32) -> "MapState":
+        return MapState(
+            positions=jnp.zeros((capacity, 3), dtype),
+            descriptors=jnp.zeros((capacity, 32), jnp.uint8),
+            observations=jnp.zeros((capacity,), jnp.int32),
+            ids=jnp.full((capacity,), -1, jnp.int32),
+            valid=jnp.zeros((capacity,), bool),
+            next_id=jnp.zeros((), jnp.int32),
+        )
+
+    @property
+    def capacity(self) -> int:
+        return self.valid.shape[0]
+
+    def size(self):
+        return jnp.sum(self.valid.astype(jnp.int32))
+
+
+def map_insert(state: MapState, positions, descriptors, mask) -> MapState:
+    """Scatter up to N new points into free slots (map.rs add_points, :31-37).
+
+    positions [N,3], descriptors [N,32], mask [N] — only masked rows insert.
+    If free slots run out, the overflow rows are dropped (the fixed-capacity
+    analog of unbounded HashMap growth; size the capacity generously).
+    """
+    positions = jnp.asarray(positions, state.positions.dtype)
+    descriptors = jnp.asarray(descriptors, jnp.uint8)
+    mask = jnp.asarray(mask, bool)
+    n = positions.shape[0]
+    cap = state.capacity
+
+    # Stable-sort free slots to the front: argsort(valid) lists empty slots
+    # first in index order.
+    free_slots = jnp.argsort(state.valid.astype(jnp.int32), stable=True)  # [C]
+    n_free = cap - state.size()
+
+    rank = (jnp.cumsum(mask.astype(jnp.int32)) - 1).astype(jnp.int32)  # insertion rank
+    insert_ok = mask & (rank < n_free)
+    # Park dropped rows at a scratch slot index == cap (scatter with
+    # mode='drop' ignores them).
+    slot = jnp.where(insert_ok, free_slots[jnp.clip(rank, 0, cap - 1)], cap).astype(jnp.int32)
+
+    ids = state.next_id + rank.astype(jnp.int32)
+    return MapState(
+        positions=state.positions.at[slot].set(positions, mode="drop"),
+        descriptors=state.descriptors.at[slot].set(descriptors, mode="drop"),
+        observations=state.observations.at[slot].set(1, mode="drop"),
+        ids=state.ids.at[slot].set(ids, mode="drop"),
+        valid=state.valid.at[slot].set(True, mode="drop"),
+        next_id=state.next_id + jnp.sum(mask.astype(jnp.int32)),
+    )
+
+
+def map_find_matches(
+    state: MapState,
+    intrinsics: CameraIntrinsics,
+    frame_descriptors,
+    frame_mask,
+    rotation,
+    translation,
+    ratio: float = 2.0,
+):
+    """Re-associate map points with current-frame features (map.rs:72-118).
+
+    Projects every landmark with the current world-to-camera pose, keeps
+    those in front of the camera and inside the rough bounds, Hamming-matches
+    map->frame (query = map descriptors), applies the reference ratio filter.
+
+    Returns (train_idx [C] int32 — matched keypoint per map slot,
+    good [C] bool — slot matched).
+    """
+    p_cam = jnp.einsum("ij,nj->ni", jnp.asarray(rotation, state.positions.dtype), state.positions)
+    p_cam = p_cam + jnp.asarray(translation, state.positions.dtype)[None, :]
+    z = p_cam[:, 2]
+    z_safe = jnp.where(z > 0, z, 1.0)
+    u = intrinsics.fx * (p_cam[:, 0] / z_safe) + intrinsics.cx
+    v = intrinsics.fy * (p_cam[:, 1] / z_safe) + intrinsics.cy
+    visible = state.valid & (z > 0.0) & (u >= 0.0) & (u < 4000.0) & (v >= 0.0) & (v < 3000.0)
+
+    matcher = FeatureMatcher()
+    matches = matcher.match_descriptors(
+        state.descriptors, frame_descriptors, query_mask=visible, train_mask=frame_mask
+    )
+    good = matcher.filter_good_matches(matches, ratio)
+    return good.train_idx, good.mask
+
+
+def map_update_observations(state: MapState, matched_mask) -> MapState:
+    """observations += 1 for matched slots (map.rs:121-127)."""
+    inc = jnp.asarray(matched_mask, bool) & state.valid
+    return state._replace(observations=state.observations + inc.astype(jnp.int32))
+
+
+def map_prune(state: MapState, min_observations: int = 2) -> MapState:
+    """Drop points with too few observations (map.rs:130-137). Returns the
+    new state; the removed count is old_size - new_size."""
+    keep = state.valid & (state.observations >= min_observations)
+    return state._replace(valid=keep)
+
+
+class Map:
+    """Eager wrapper mirroring map.rs:17-160."""
+
+    def __init__(self, intrinsics: CameraIntrinsics, capacity: int = 65536, min_observations: int = 2):
+        self.intrinsics = intrinsics
+        self.min_observations = min_observations
+        self.state = MapState.empty(capacity)
+
+    def add_points(self, points) -> None:
+        """Accepts a list of MapPoint (eager) or a MapPoints batch."""
+        if hasattr(points, "positions"):  # MapPoints SoA
+            self.state = map_insert(self.state, points.positions, points.descriptors, points.valid)
+            return
+        if not points:
+            return
+        pos = np.stack([np.asarray(p.position) for p in points])
+        desc = np.stack(
+            [
+                np.asarray(p.descriptor, np.uint8)
+                if p.descriptor is not None
+                else np.zeros(32, np.uint8)
+                for p in points
+            ]
+        )
+        self.state = map_insert(self.state, pos, desc, np.ones(len(points), bool))
+
+    def find_matches(self, descriptors, pose, frame_mask=None, ratio: float = 2.0):
+        """Returns a list of (map_id, keypoint_idx) like map.rs:72-118."""
+        descriptors = jnp.asarray(descriptors, jnp.uint8)
+        if frame_mask is None:
+            frame_mask = jnp.ones((descriptors.shape[0],), bool)
+        train_idx, good = map_find_matches(
+            self.state, self.intrinsics, descriptors, frame_mask, pose[0], pose[1], ratio
+        )
+        good_np = np.asarray(good)
+        ids = np.asarray(self.state.ids)
+        tr = np.asarray(train_idx)
+        return [(int(ids[i]), int(tr[i])) for i in np.nonzero(good_np)[0]]
+
+    def update_observations(self, matches) -> None:
+        """matches: list of (map_id, kp_idx) from find_matches."""
+        ids = np.asarray(self.state.ids)
+        mask = np.isin(ids, [m[0] for m in matches]) & np.asarray(self.state.valid)
+        self.state = map_update_observations(self.state, jnp.asarray(mask))
+
+    def prune_outliers(self) -> int:
+        before = int(self.state.size())
+        self.state = map_prune(self.state, self.min_observations)
+        return before - int(self.state.size())
+
+    def stable_points(self):
+        obs = np.asarray(self.state.observations)
+        valid = np.asarray(self.state.valid)
+        keep = valid & (obs >= self.min_observations)
+        return self._to_points(keep)
+
+    def points(self):
+        return self._to_points(np.asarray(self.state.valid))
+
+    def _to_points(self, mask):
+        pos = np.asarray(self.state.positions)
+        desc = np.asarray(self.state.descriptors)
+        obs = np.asarray(self.state.observations)
+        ids = np.asarray(self.state.ids)
+        return [
+            MapPoint(position=pos[i], descriptor=desc[i], observations=int(obs[i]), id=int(ids[i]))
+            for i in np.nonzero(mask)[0]
+        ]
+
+    def size(self) -> int:
+        return int(self.state.size())
+
+    def clear(self) -> None:
+        self.state = MapState.empty(self.state.capacity)

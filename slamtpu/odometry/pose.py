@@ -66,7 +66,8 @@ def estimate_relative_pose(
 
     norm1 = intrinsics.normalize(points1)
     norm2 = intrinsics.normalize(jnp.asarray(points2))
-    threshold_norm = config.threshold / float(intrinsics.fx)
+    # jnp (not float()): intrinsics may be a traced pytree under jit.
+    threshold_norm = config.threshold / jnp.asarray(intrinsics.fx, norm1.dtype)
 
     result: RansacResult = ransac_essential(
         key, norm1, norm2, mask=mask, threshold_norm=threshold_norm, config=config

@@ -75,7 +75,7 @@ class Trajectory:
         rel[:3, 3] = np.asarray(translation, dtype=self._dtype).reshape(3)
         self.global_pose = self.global_pose @ rel
         self.points.append(
-            TrajectoryPoint(frame, [float(v) for v in self.global_pose[:3, 3]], float(timestamp))
+            TrajectoryPoint(int(frame), [float(v) for v in self.global_pose[:3, 3]], float(timestamp))
         )
 
     def extend_batch(self, rotations, translations, frames, timestamps) -> None:

@@ -1,0 +1,172 @@
+"""Multi-chip VO: shard_map over (data, seq) with ICI halo exchange.
+
+The full VO step — detection, pairwise matching, RANSAC pose, keyframe scan,
+trajectory composition — jitted over a `jax.sharding.Mesh`:
+
+  * the batch of sequences shards over `data` (no communication);
+  * the time axis shards over `seq`. Two collectives make that correct:
+      1. a one-frame HALO EXCHANGE (`jax.lax.ppermute` along `seq`): each
+         shard sends its last frame's features to its right neighbor, so the
+         neighbor can form the boundary frame pair — the SLAM analog of
+         context-parallel halo exchange (SURVEY.md §5);
+      2. a CROSS-SHARD PREFIX PRODUCT for trajectory composition: each shard
+         scans its local relative transforms, `all_gather`s the per-shard
+         totals along `seq`, and multiplies in its prefix offset — a
+         distributed associative scan in two hops.
+
+  Keyframe selection is the one sequentially-dependent piece: each seq shard
+  scans from a fresh selector state, so decisions within `max_frames` of a
+  shard boundary can differ from the serial pipeline (under the default
+  config every successful frame is a keyframe — see pipeline/vo.py — and the
+  approximation is exact). This is the documented seq-parallel tradeoff.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import PartitionSpec as P
+
+from ..feature.detector import detect_and_compute
+from ..feature.matcher import FeatureMatcher
+from ..mapping.keyframe import KeyframeState, keyframe_step
+from ..odometry.camera import CameraIntrinsics
+from ..odometry.pose import estimate_relative_pose
+from ..odometry.trajectory import compose_relative_transforms
+from ..ops.lie import se3_matrix
+from .mesh import DATA_AXIS, SEQ_AXIS
+from ..pipeline.vo import VoConfig
+
+__all__ = ["sharded_vo_step", "ShardedVoResult"]
+
+
+class ShardedVoResult(NamedTuple):
+    rotations: jnp.ndarray  # [B, T, 3, 3] per-frame relative pose (frame t vs t-1)
+    translations: jnp.ndarray  # [B, T, 3]
+    success: jnp.ndarray  # [B, T] bool (frame 0 of each sequence is False)
+    is_keyframe: jnp.ndarray  # [B, T] bool
+    positions: jnp.ndarray  # [B, T, 3] trajectory positions (reference composition)
+    num_matches: jnp.ndarray  # [B, T] int32
+
+
+def _local_vo(frames, keys, intrinsics, config, halo_feats, is_first_shard):
+    """Per-shard, per-sequence VO over [T_local] frames.
+
+    halo_feats: features of the left neighbor's last frame (garbage on the
+    first seq shard — masked via is_first_shard).
+    """
+    matcher = FeatureMatcher()
+    feats = detect_and_compute(frames, config.orb)  # [T_local, K, ...]
+    prev = jax.tree_util.tree_map(
+        lambda h, f: jnp.concatenate([h[None], f[:-1]], axis=0), halo_feats, feats
+    )
+
+    good = jax.vmap(
+        lambda d1, m1, d2, m2: matcher.filter_good_matches(
+            matcher.match_descriptors(d1, d2, query_mask=m1, train_mask=m2),
+            config.match_ratio,
+        )
+    )(prev.descriptors, prev.mask, feats.descriptors, feats.mask)
+
+    pts1 = prev.xy
+    pts2 = jnp.take_along_axis(feats.xy, good.train_idx[..., None], axis=1)
+    num_good = jnp.sum(good.mask.astype(jnp.int32), axis=-1)
+    enough = num_good >= config.min_matches
+
+    poses = jax.vmap(
+        lambda k, p1, p2, m: estimate_relative_pose(
+            k, intrinsics, p1, p2, mask=m, config=config.ransac
+        )
+    )(keys, pts1, pts2, good.mask)
+
+    # Pair 0 of the first shard has no real predecessor.
+    t_idx = jnp.arange(frames.shape[0])
+    valid_pair = ~(is_first_shard & (t_idx == 0))
+    success = poses.valid & enough & valid_pair
+
+    def kf_body(state, inp):
+        rot, trans, n, ok = inp
+        stepped, kf = keyframe_step(config.keyframe, state, rot, trans, n)
+        state_out = jax.tree_util.tree_map(lambda a, b: jnp.where(ok, a, b), stepped, state)
+        return state_out, kf & ok
+
+    _, is_kf = jax.lax.scan(
+        kf_body, KeyframeState.initial(), (poses.rotation, poses.translation, num_good, success)
+    )
+
+    rel = se3_matrix(poses.rotation, poses.translation)
+    rel = jnp.where(is_kf[:, None, None], rel, jnp.eye(4, dtype=rel.dtype))
+    local_prefix = compose_relative_transforms(rel)  # [T_local, 4, 4]
+
+    last_feats = jax.tree_util.tree_map(lambda x: x[-1], feats)
+    return poses, success, is_kf, num_good, local_prefix, last_feats
+
+
+def sharded_vo_step(mesh, frames, keys, intrinsics: CameraIntrinsics, config: VoConfig = VoConfig()):
+    """Jit-compiled multi-chip VO over [B, T, H, W] frames.
+
+    B shards over `data`, T over `seq`. keys: [B, T, 2] per-frame PRNG keys.
+    Returns a fully-replicated-on-host ShardedVoResult.
+    """
+    n_seq = mesh.shape[SEQ_AXIS]
+
+    @functools.partial(
+        jax.shard_map,
+        mesh=mesh,
+        in_specs=(P(DATA_AXIS, SEQ_AXIS), P(DATA_AXIS, SEQ_AXIS)),
+        out_specs=jax.tree_util.tree_map(
+            lambda _: P(DATA_AXIS, SEQ_AXIS), ShardedVoResult(*range(6))
+        ),
+        check_vma=False,
+    )
+    def step(frames_shard, keys_shard):
+        seq_rank = jax.lax.axis_index(SEQ_AXIS)
+        is_first = seq_rank == 0
+
+        def per_sequence(seq_frames, seq_keys):
+            # Detect locally, then halo-exchange the LAST frame's features to
+            # the right neighbor along the seq ring.
+            feats = detect_and_compute(seq_frames[-1:], config.orb)
+            last = jax.tree_util.tree_map(lambda x: x[0], feats)
+            halo = jax.tree_util.tree_map(
+                lambda x: jax.lax.ppermute(
+                    x[None],
+                    SEQ_AXIS,
+                    [(i, (i + 1) % n_seq) for i in range(n_seq)],
+                )[0],
+                last,
+            )
+            poses, success, is_kf, num_good, local_prefix, _ = _local_vo(
+                seq_frames, seq_keys, intrinsics, config, halo, is_first
+            )
+
+            # Distributed prefix product along seq.
+            local_total = local_prefix[-1]
+            totals = jax.lax.all_gather(local_total, SEQ_AXIS)  # [S, 4, 4]
+
+            def offset_body(carry, s):
+                use = s < seq_rank
+                carry = jnp.where(use, carry @ totals[s], carry)
+                return carry, None
+
+            offset, _ = jax.lax.scan(
+                offset_body, jnp.eye(4, dtype=local_prefix.dtype), jnp.arange(n_seq)
+            )
+            global_prefix = jnp.einsum("ij,tjk->tik", offset, local_prefix)
+            positions = global_prefix[:, :3, 3]
+            return ShardedVoResult(
+                rotations=poses.rotation,
+                translations=poses.translation,
+                success=success,
+                is_keyframe=is_kf,
+                positions=positions,
+                num_matches=num_good,
+            )
+
+        return jax.vmap(per_sequence)(frames_shard, keys_shard)
+
+    return step(frames, keys)

@@ -1,0 +1,269 @@
+"""Whole-clip visual odometry: the flagship fused pipeline.
+
+TPU-native counterpart of /root/reference/examples/visual_odometry.rs:84-218.
+The reference processes one frame per loop iteration on the host; here an
+entire clip (or chunk) is ONE jit program:
+
+  detect_and_compute over [C+1] frames (batched pyramids)        -> MXU/VPU
+  pairwise Hamming matching over [C] consecutive pairs (vmap)    -> MXU
+  fixed-iteration RANSAC pose per pair (vmap)                    -> MXU/VPU
+  keyframe selection (inherently serial)                         -> lax.scan
+  global pose composition                                        -> associative_scan
+
+Reference semantics preserved exactly (visual_odometry.rs):
+  * matching is always against the PREVIOUS FRAME (prev updated every frame,
+    lines 206-208), trajectory updated only on keyframes (:120-136) with that
+    frame's relative pose — inter-keyframe motion is dropped, a reference
+    quirk we replicate;
+  * pose failure = frame skipped: keyframe state does not advance (:151-158);
+  * timestamps are (frame_count - 1) / fps (:128);
+  * since recoverPose returns |t| = 1, the min_translation test always fires
+    and every successful frame is a keyframe under default config — also
+    replicated (it's the reference's real behavior).
+
+Long sequences stream through `run_vo` in fixed-size chunks: the carried
+state is (last frame's features, keyframe state, global pose), so compile
+happens once and HBM holds only one chunk of frames.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..feature.detector import OrbConfig, OrbFeatures, detect_and_compute
+from ..feature.matcher import FeatureMatcher
+from ..mapping.keyframe import KeyframeConfig, KeyframeState, keyframe_step
+from ..odometry.camera import CameraIntrinsics
+from ..odometry.pose import estimate_relative_pose
+from ..odometry.trajectory import Trajectory, compose_relative_transforms
+from ..ops.lie import se3_matrix
+from ..ops.ransac import RansacConfig
+
+__all__ = ["VoConfig", "VoChunkResult", "vo_chunk", "run_vo", "VoRun"]
+
+
+@dataclasses.dataclass(frozen=True)
+class VoConfig:
+    orb: OrbConfig = OrbConfig()
+    ransac: RansacConfig = RansacConfig()
+    keyframe: KeyframeConfig = KeyframeConfig()
+    match_ratio: float = 2.0
+    min_matches: int = 8  # visual_odometry.rs:109
+    fps: float = 30.0
+
+
+class VoChunkResult(NamedTuple):
+    rotations: jnp.ndarray  # [C, 3, 3] relative pose per pair
+    translations: jnp.ndarray  # [C, 3] (unit norm where valid)
+    num_matches: jnp.ndarray  # [C] good matches per pair
+    num_inliers: jnp.ndarray  # [C] RANSAC inliers
+    success: jnp.ndarray  # [C] bool — pose recovered (>=8 matches & inliers)
+    is_keyframe: jnp.ndarray  # [C] bool
+    global_poses: jnp.ndarray  # [C, 4, 4] pose AFTER processing each pair
+
+
+def _match_pair(matcher: FeatureMatcher, ratio, d1, m1, d2, m2):
+    matches = matcher.match_descriptors(d1, d2, query_mask=m1, train_mask=m2)
+    return matcher.filter_good_matches(matches, ratio)
+
+
+def vo_frontend(
+    prev_feats: OrbFeatures,
+    kf_state: KeyframeState,
+    global_pose,
+    frames,
+    keys,
+    intrinsics: CameraIntrinsics,
+    config: VoConfig = VoConfig(),
+):
+    """vo_chunk plus the per-frame features (for mapping pipelines).
+
+    Returns ((new_prev_feats, new_kf_state, new_global_pose), VoChunkResult,
+    feats_new [C]).
+    """
+    matcher = FeatureMatcher()
+
+    feats_new = detect_and_compute(frames, config.orb)
+    feats_all = jax.tree_util.tree_map(
+        lambda p, f: jnp.concatenate([p[None], f], axis=0), prev_feats, feats_new
+    )
+
+    good = jax.vmap(lambda d1, m1, d2, m2: _match_pair(matcher, config.match_ratio, d1, m1, d2, m2))(
+        feats_all.descriptors[:-1],
+        feats_all.mask[:-1],
+        feats_all.descriptors[1:],
+        feats_all.mask[1:],
+    )
+
+    pts1 = feats_all.xy[:-1]  # [C, K, 2] query keypoints (prev frame)
+    pts2 = jnp.take_along_axis(feats_all.xy[1:], good.train_idx[..., None], axis=1)
+    num_good = jnp.sum(good.mask.astype(jnp.int32), axis=-1)
+    enough = num_good >= config.min_matches
+
+    poses = jax.vmap(
+        lambda k, p1, p2, m: estimate_relative_pose(k, intrinsics, p1, p2, mask=m, config=config.ransac)
+    )(keys, pts1, pts2, good.mask)
+    success = poses.valid & enough
+
+    # Keyframe selection: serial scan; failed frames leave the state untouched
+    # (the reference never calls should_be_keyframe on them).
+    def body(state, inp):
+        rot, trans, n, ok = inp
+        stepped, kf = keyframe_step(config.keyframe, state, rot, trans, n)
+        state_out = jax.tree_util.tree_map(
+            lambda a, b: jnp.where(ok, a, b), stepped, state
+        )
+        return state_out, kf & ok
+
+    new_kf_state, is_kf = jax.lax.scan(
+        body, kf_state, (poses.rotation, poses.translation, num_good, success)
+    )
+
+    # Trajectory: identity for non-keyframes, then one parallel prefix scan.
+    rel = se3_matrix(poses.rotation, poses.translation)
+    eye = jnp.eye(4, dtype=rel.dtype)
+    rel = jnp.where(is_kf[:, None, None], rel, eye)
+    chain = jnp.concatenate([global_pose[None], rel], axis=0)
+    globals_ = compose_relative_transforms(chain)[1:]
+
+    new_prev = jax.tree_util.tree_map(lambda x: x[-1], feats_new)
+    result = VoChunkResult(
+        rotations=poses.rotation,
+        translations=poses.translation,
+        num_matches=num_good,
+        num_inliers=poses.num_inliers,
+        success=success,
+        is_keyframe=is_kf,
+        global_poses=globals_,
+    )
+    return (new_prev, new_kf_state, globals_[-1]), result, feats_new
+
+
+def vo_chunk(
+    prev_feats: OrbFeatures,
+    kf_state: KeyframeState,
+    global_pose,
+    frames,
+    keys,
+    intrinsics: CameraIntrinsics,
+    config: VoConfig = VoConfig(),
+):
+    """Process C new frames against the carried previous frame.
+
+    prev_feats: OrbFeatures of the frame before `frames[0]` (no batch dim).
+    frames: [C, H, W]; keys: [C, 2] PRNG keys (one per pair).
+    Returns ((new_prev_feats, new_kf_state, new_global_pose), VoChunkResult).
+    Pure and jit-able; wrap with jit(static config) at the call site.
+    """
+    carry, result, _ = vo_frontend(
+        prev_feats, kf_state, global_pose, frames, keys, intrinsics, config
+    )
+    return carry, result
+
+
+# Module-level jit so the compile cache survives across run_vo calls.
+_vo_chunk_jit = jax.jit(vo_chunk, static_argnames=("config",))
+
+
+@dataclasses.dataclass
+class VoRun:
+    """Host-side results of a full run (the reference's summary block,
+    visual_odometry.rs:224-239, plus the raw per-frame arrays)."""
+
+    trajectory: Trajectory
+    total_frames: int
+    successful_frames: int
+    failed_frames: int
+    keyframe_count: int
+    num_matches: np.ndarray  # [T-1]
+    num_inliers: np.ndarray  # [T-1]
+    success: np.ndarray  # [T-1]
+    is_keyframe: np.ndarray  # [T-1]
+    rotations: np.ndarray  # [T-1, 3, 3] per-pair relative rotations
+    translations: np.ndarray  # [T-1, 3] per-pair unit translations
+
+    @property
+    def keyframe_ratio(self) -> float:
+        return self.keyframe_count / max(self.total_frames, 1)
+
+
+def run_vo(
+    frames,
+    intrinsics: CameraIntrinsics,
+    config: VoConfig = VoConfig(),
+    chunk_size: int | None = None,
+    seed: int = 0,
+) -> VoRun:
+    """Run the full VO pipeline over a clip.
+
+    frames: [T, H, W] uint8/float (numpy or jax). chunk_size None = whole
+    clip in one program; otherwise frames stream through fixed-size chunks
+    (last chunk pads and masks). Identical results either way: per-pair PRNG
+    keys are derived from the global pair index.
+    """
+    frames = np.asarray(frames)
+    t_total = frames.shape[0]
+    if t_total < 2:
+        return VoRun(
+            Trajectory(), t_total, 0, 0, 0,
+            *(np.zeros((0,)),) * 4,
+            np.zeros((0, 3, 3)), np.zeros((0, 3)),
+        )
+
+    n_pairs = t_total - 1
+    keys = jax.random.split(jax.random.PRNGKey(seed), n_pairs)
+    chunk = chunk_size or n_pairs
+
+    step = _vo_chunk_jit
+
+    first = jax.tree_util.tree_map(
+        lambda x: x[0], detect_and_compute(frames[:1].astype(np.float32), config.orb)
+    )
+    carry = (first, KeyframeState.initial(), jnp.eye(4, dtype=jnp.float64 if jax.config.jax_enable_x64 else jnp.float32))
+
+    results = []
+    for start in range(0, n_pairs, chunk):
+        stop = min(start + chunk, n_pairs)
+        block = frames[start + 1 : stop + 1].astype(np.float32)
+        block_keys = keys[start:stop]
+        if stop - start < chunk and chunk_size is not None:
+            pad = chunk - (stop - start)
+            block = np.concatenate([block, np.repeat(block[-1:], pad, 0)], 0)
+            block_keys = jnp.concatenate([block_keys, jnp.repeat(block_keys[-1:], pad, 0)], 0)
+        carry, res = step(carry[0], carry[1], carry[2], block, block_keys, intrinsics, config)
+        res = jax.tree_util.tree_map(lambda x: np.asarray(x[: stop - start]), res)
+        results.append(res)
+
+    merged = VoChunkResult(*[np.concatenate(parts, axis=0) for parts in zip(*results)])
+
+    trajectory = Trajectory()
+    for idx in np.nonzero(merged.is_keyframe)[0]:
+        # Pair idx connects frame idx -> idx+1 (frame_count = idx+2 in the
+        # reference's 1-based numbering; timestamp = (frame_count-1)/fps).
+        frame_count = idx + 2
+        trajectory.update(
+            merged.rotations[idx],
+            merged.translations[idx],
+            frame_count,
+            (frame_count - 1) / config.fps,
+        )
+
+    success = merged.success
+    return VoRun(
+        trajectory=trajectory,
+        total_frames=t_total,
+        successful_frames=int(success.sum()),
+        failed_frames=int((~success).sum()),
+        keyframe_count=int(merged.is_keyframe.sum()),
+        num_matches=merged.num_matches,
+        num_inliers=merged.num_inliers,
+        success=success,
+        is_keyframe=merged.is_keyframe,
+        rotations=merged.rotations,
+        translations=merged.translations,
+    )

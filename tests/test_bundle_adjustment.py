@@ -1,0 +1,181 @@
+"""Bundle adjustment vs reference tests (bundle_adjustment.rs:404-455), the
+synthetic example (examples/bundle_adjustment.rs), and a scipy oracle."""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+from scipy.optimize import least_squares
+from scipy.spatial.transform import Rotation
+
+from slamtpu import BundleAdjuster, CameraIntrinsics, Observation
+from slamtpu.mapping.bundle_adjustment import (
+    ObservationBatch,
+    ba_solve,
+    compute_total_error,
+    pose_point_jacobians,
+)
+from slamtpu.ops.lie import so3_exp
+
+
+@pytest.fixture
+def cam():
+    return CameraIntrinsics(500.0, 500.0, 320.0, 240.0)
+
+
+def project(cam, r, t, x):
+    p = r @ x + t
+    return np.array([cam.fx * p[0] / p[2] + cam.cx, cam.fy * p[1] / p[2] + cam.cy])
+
+
+def test_se3_jacobian_numerical(cam):
+    # bundle_adjustment.rs:409-432: analytic rotation block vs finite diff.
+    point = np.array([1.0, 2.0, 10.0])
+    r = np.eye(3)
+    t = np.array([0.1, -0.2, 0.05])
+    j_pose, j_point = pose_point_jacobians(cam, r, t, point)
+    j_pose = np.asarray(j_pose)
+
+    eps = 1e-6
+    for axis in range(3):
+        d_omega = np.zeros(3)
+        d_omega[axis] = eps
+        r_pert = np.asarray(so3_exp(jnp.asarray(d_omega))) @ r
+        num = (project(cam, r_pert, t, point) - project(cam, r, t, point)) / eps
+        np.testing.assert_allclose(j_pose[:, axis], num, atol=1e-4)
+    # Translation block and point block numerically too.
+    for axis in range(3):
+        dt = np.zeros(3)
+        dt[axis] = eps
+        num = (project(cam, r, t + dt, point) - project(cam, r, t, point)) / eps
+        np.testing.assert_allclose(j_pose[:, 3 + axis], num, atol=1e-4)
+        num_p = (project(cam, r, t, point + dt) - project(cam, r, t, point)) / eps
+        np.testing.assert_allclose(np.asarray(j_point)[:, axis], num_p, atol=1e-4)
+
+
+def test_rotation_convergence(cam):
+    # bundle_adjustment.rs:434-455: perturbed single pose/point -> ~0 error.
+    true_r = Rotation.from_euler("xyz", [0.1, 0.2, 0.05]).as_matrix()
+    true_t = np.array([0.1, -0.1, 0.0])
+    true_point = np.array([1.0, 0.5, 5.0])
+    pix = project(cam, true_r, true_t, true_point)
+
+    ba = BundleAdjuster(cam).with_max_iterations(30)
+    poses = [(np.eye(3), np.zeros(3))]
+    points = [np.array([1.5, 0.8, 6.0])]
+    observations = [Observation(0, 0, pix)]
+    _, _, final_error = ba.optimize(poses, points, observations, fix_first_pose=False)
+    assert final_error < 1e-6, f"final error {final_error}"
+
+
+def make_ba_problem(rng, n_poses=4, n_points=12, pose_noise=0.05, point_noise=0.12):
+    """The synthetic example (examples/bundle_adjustment.rs:12-60), slightly
+    larger for a better-conditioned test."""
+    cam = CameraIntrinsics(500.0, 500.0, 320.0, 240.0)
+    gt_points = np.stack(
+        [rng.uniform(-2, 2, n_points), rng.uniform(-1.5, 1.5, n_points), rng.uniform(6, 12, n_points)], 1
+    )
+    gt_poses = []
+    for i in range(n_poses):
+        r = Rotation.from_rotvec(rng.normal(scale=0.02, size=3)).as_matrix()
+        t = np.array([0.4 * i, 0.0, 0.0]) + rng.normal(scale=0.02, size=3)
+        gt_poses.append((r, t))
+    observations = [
+        Observation(i, j, project(cam, *gt_poses[i], gt_points[j]))
+        for i in range(n_poses)
+        for j in range(n_points)
+    ]
+    noisy_poses = [
+        (np.asarray(so3_exp(jnp.asarray(rng.normal(scale=pose_noise, size=3)))) @ r, t + rng.normal(scale=pose_noise, size=3))
+        for r, t in gt_poses
+    ]
+    noisy_points = [p + rng.normal(scale=point_noise, size=3) for p in gt_points]
+    return cam, gt_poses, gt_points, noisy_poses, noisy_points, observations
+
+
+def test_synthetic_example_error_reduction(rng):
+    cam, _, _, noisy_poses, noisy_points, observations = make_ba_problem(rng)
+    ba = BundleAdjuster(cam).with_max_iterations(30)
+    initial = ba.compute_total_error(noisy_poses, noisy_points, observations)
+    new_poses, new_points, final = ba.optimize(
+        noisy_poses, noisy_points, observations, fix_first_pose=True
+    )
+    assert initial > 1.0
+    assert final < 0.02 * initial, f"{initial:.2f} -> {final:.4f}"
+    # Gauge: first pose untouched.
+    np.testing.assert_allclose(new_poses[0][0], noisy_poses[0][0], atol=1e-12)
+    np.testing.assert_allclose(new_poses[0][1], noisy_poses[0][1], atol=1e-12)
+
+
+def test_matches_scipy_oracle(rng, cam):
+    """Final reprojection error on par with scipy least_squares on the same
+    parameterization (fix first pose, angle-axis increments)."""
+    cam, _, _, noisy_poses, noisy_points, observations = make_ba_problem(rng, n_poses=3, n_points=8)
+    ba = BundleAdjuster(cam).with_max_iterations(50)
+    _, _, ours = ba.optimize(noisy_poses, noisy_points, observations, fix_first_pose=True)
+
+    n_poses, n_points = len(noisy_poses), len(noisy_points)
+
+    def unpack(theta):
+        poses = [noisy_poses[0]]
+        for i in range(1, n_poses):
+            w = theta[(i - 1) * 6 : (i - 1) * 6 + 3]
+            t = theta[(i - 1) * 6 + 3 : (i - 1) * 6 + 6]
+            poses.append((Rotation.from_rotvec(w).as_matrix() @ noisy_poses[i][0], noisy_poses[i][1] + t))
+        pts = theta[(n_poses - 1) * 6 :].reshape(n_points, 3) + np.stack(noisy_points)
+        return poses, pts
+
+    def residuals(theta):
+        poses, pts = unpack(theta)
+        out = []
+        for o in observations:
+            out.extend(project(cam, *poses[o.keyframe_idx], pts[o.point_idx]) - o.pixel)
+        return np.array(out)
+
+    sol = least_squares(residuals, np.zeros((n_poses - 1) * 6 + n_points * 3), method="lm")
+    poses_s, pts_s = unpack(sol.x)
+    oracle = ba.compute_total_error(poses_s, [p for p in pts_s], observations)
+    # scipy converges to ~machine zero on this noiseless problem; ours should
+    # be within the same order of smallness.
+    assert ours <= max(10.0 * oracle, 1e-3), f"ours {ours} vs scipy {oracle}"
+
+
+def test_local_bundle_adjustment_freezes_old_poses(rng):
+    cam, _, _, noisy_poses, noisy_points, observations = make_ba_problem(rng, n_poses=5, n_points=10)
+    ba = BundleAdjuster(cam).with_max_iterations(15)
+    initial = ba.compute_total_error(noisy_poses, noisy_points, observations)
+    new_poses, new_points, final = ba.local_bundle_adjustment(
+        noisy_poses, noisy_points, observations, window_size=2
+    )
+    # Out-of-window poses are bit-identical.
+    for i in range(3):
+        np.testing.assert_allclose(new_poses[i][0], noisy_poses[i][0], atol=1e-12)
+        np.testing.assert_allclose(new_poses[i][1], noisy_poses[i][1], atol=1e-12)
+    # Window error (obs on last 2 poses) decreased.
+    local_obs = [o for o in observations if o.keyframe_idx >= 3]
+    before = ba.compute_total_error(noisy_poses, noisy_points, local_obs)
+    after = ba.compute_total_error(new_poses, new_points, local_obs)
+    assert after < before
+
+
+def test_empty_observations(cam):
+    ba = BundleAdjuster(cam)
+    poses, points, err = ba.optimize([(np.eye(3), np.zeros(3))], [np.array([0, 0, 5.0])], [], True)
+    assert err == 0.0
+
+
+def test_out_of_range_observation_ignored(cam):
+    """Observations indexing beyond poses/points are skipped by the reference
+    (:169-171, :214-216); we require callers to mask instead — verify the
+    masked path."""
+    rot = jnp.asarray(np.eye(3)[None])
+    trans = jnp.zeros((1, 3))
+    pts = jnp.asarray([[0.0, 0.0, 5.0]])
+    pix = jnp.asarray([[320.0, 240.0], [999.0, 999.0]])
+    obs = ObservationBatch(
+        kf_idx=jnp.asarray([0, 0], jnp.int32),
+        pt_idx=jnp.asarray([0, 0], jnp.int32),
+        pixels=pix,
+        mask=jnp.asarray([True, False]),
+    )
+    err = compute_total_error(CameraIntrinsics(500.0, 500.0, 320.0, 240.0), rot, trans, pts, obs)
+    assert float(err) < 1e-9  # masked bogus observation contributes nothing

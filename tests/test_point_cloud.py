@@ -1,0 +1,133 @@
+"""Flagship point_cloud pipeline: map growth, BA wiring, artifact export."""
+
+import json
+import os
+
+import numpy as np
+import pytest
+
+from slamtpu.io.export import depth_to_color_ply, point_cloud_json, save_ply
+from slamtpu.io.synthetic import render_sequence
+from slamtpu.mapping.triangulation import MapPoint
+from slamtpu.pipeline.point_cloud import PointCloudConfig, run_point_cloud
+from slamtpu.pipeline.vo import VoConfig
+from slamtpu.feature.detector import OrbConfig
+from slamtpu.ops.ransac import RansacConfig
+from slamtpu.mapping.keyframe import KeyframeConfig
+
+
+@pytest.fixture(scope="module")
+def pc_result():
+    scene = render_sequence(n_frames=16, height=240, width=320, n_points=700, step=0.5, seed=5)
+    cfg = PointCloudConfig(
+        vo=VoConfig(
+            orb=OrbConfig(max_features=300),
+            ransac=RansacConfig(iters=200),
+            keyframe=KeyframeConfig(0.03, 0.03, 0.7, 3),
+        ),
+        map_capacity=4096,
+        max_ba_observations=1024,
+    )
+    return scene, run_point_cloud(scene.frames, scene.intrinsics, cfg, seed=0)
+
+
+def test_map_grows_and_points_in_front(pc_result):
+    scene, res = pc_result
+    pts = res.points()
+    assert len(pts) > 200, f"only {len(pts)} map points"
+    # Points triangulated in world frame from a camera looking down +z:
+    # the bulk must lie in front of the start (z > 0).
+    z = np.array([p.position[2] for p in pts])
+    assert (z > 0).mean() > 0.9
+
+
+def test_keyframe_chain_and_trajectory(pc_result):
+    scene, res = pc_result
+    assert res.keyframe_rotations.shape[0] == res.keyframe_frame_idx.shape[0]
+    assert res.keyframe_rotations.shape[0] >= 10  # aggressive keyframing
+    assert len(res.trajectory) == res.keyframe_rotations.shape[0]  # kf count + origin - 1 (kf0 = frame 0)
+    # World-to-camera chain orthonormal.
+    for r in res.keyframe_rotations:
+        np.testing.assert_allclose(r @ r.T, np.eye(3), atol=1e-5)
+
+
+def test_ba_ran_and_observations_accumulated(pc_result):
+    _, res = pc_result
+    assert res.ba_runs >= 1
+    obs = np.asarray(res.map_state.observations)
+    valid = np.asarray(res.map_state.valid)
+    assert (obs[valid] >= 2).sum() > 20  # reobserved landmarks exist
+
+
+def test_reprojection_quality(pc_result):
+    """Stable landmarks reproject into recent keyframes with low error."""
+    scene, res = pc_result
+    cam = scene.intrinsics
+    pts = [p for p in res.points() if p.observations >= 2]
+    k_idx = res.keyframe_rotations.shape[0] - 1
+    r, t = res.keyframe_rotations[k_idx], res.keyframe_translations[k_idx]
+    pos = np.array([p.position for p in pts])
+    pc = pos @ r.T + t
+    infront = pc[:, 2] > 0.5
+    assert infront.sum() > 10
+    # Projections land inside (a margin around) the image for most points.
+    u = cam.fx * pc[infront, 0] / pc[infront, 2] + cam.cx
+    v = cam.fy * pc[infront, 1] / pc[infront, 2] + cam.cy
+    inside = (u > -50) & (u < 370) & (v > -50) & (v < 290)
+    assert inside.mean() > 0.6
+
+
+def test_ply_format_matches_reference(tmp_path):
+    pts = [
+        MapPoint(position=np.array([1.0, 2.0, 3.0]), id=0),
+        MapPoint(position=np.array([-0.5, 0.25, 60.0]), id=1),
+    ]
+    path = tmp_path / "cloud.ply"
+    save_ply(pts, str(path))
+    lines = path.read_text().splitlines()
+    assert lines[0] == "ply"
+    assert lines[1] == "format ascii 1.0"
+    assert lines[2] == "element vertex 2"
+    assert lines[3:9] == [
+        "property float x",
+        "property float y",
+        "property float z",
+        "property uchar red",
+        "property uchar green",
+        "property uchar blue",
+    ]
+    assert lines[9] == "end_header"
+    # depth 3 -> normalized 0.06, t 0.12 -> (0, 30, 224); Rust truncates casts.
+    assert lines[10] == "1 2 3 0 30 224"
+    assert lines[11] == "-0.5 0.25 60 255 0 0"  # depth clamped at 50
+
+
+def test_depth_colormap_breakpoints():
+    assert depth_to_color_ply(0.0) == (0, 0, 255)
+    assert depth_to_color_ply(25.0) == (0, 255, 0)
+    assert depth_to_color_ply(50.0) == (255, 0, 0)
+    assert depth_to_color_ply(999.0) == (255, 0, 0)
+
+
+def test_point_cloud_json_schema():
+    pts = [MapPoint(position=np.array([1.0, 2.0, 3.0]), descriptor=np.arange(32, dtype=np.uint8), observations=3, id=7)]
+    data = json.loads(point_cloud_json(pts))
+    assert data[0]["position"] == [1.0, 2.0, 3.0]
+    assert data[0]["observations"] == 3
+    assert data[0]["id"] == 7
+    assert len(data[0]["descriptor"]) == 32
+
+
+def test_save_artifacts(pc_result, tmp_path):
+    _, res = pc_result
+    cwd = os.getcwd()
+    os.chdir(tmp_path)
+    try:
+        res.save()
+        assert os.path.exists("point_cloud.ply")
+        assert os.path.exists("point_cloud.json")
+        assert os.path.exists("trajectory_output.json")
+        traj = json.loads(open("trajectory_output.json").read())
+        assert traj[0] == {"frame": 0, "position": [0.0, 0.0, 0.0], "timestamp": 0.0}
+    finally:
+        os.chdir(cwd)
