@@ -40,6 +40,18 @@ class OrbConfig:
     fast_threshold: float = 20.0
     edge_threshold: int = 31
     patch_size: int = 31
+    # TPU's sort-free approximate top-k for Harris ranking (recall ~0.95;
+    # exact top_k sorts the whole score map and cost 165 ms/33 KITTI frames
+    # on v5e). Exact on CPU either way.
+    exact_topk: bool = False
+    # Corner scoring backend: "auto" = fused Pallas kernel on accelerators,
+    # XLA map ops on CPU; or force "pallas" / "xla".
+    corner_backend: str = "auto"
+    # Descriptor path: n_bins > 0 uses the ORB paper's discretized steering
+    # (static sample indices per bin — much faster per-keypoint sampling on
+    # TPU) with orientation measured on the blurred patch (halves the patch
+    # gathers). 0 = OpenCV-style continuous rotation on the raw image.
+    descriptor_bins: int = 12
 
 
 class OrbFeatures(NamedTuple):
@@ -76,23 +88,44 @@ def features_per_level(max_features: int, n_levels: int, scale_factor: float):
     return quotas
 
 
-def _detect_level(image, blurred, quota, margin, fast_threshold):
+def _use_pallas(config: OrbConfig) -> bool:
+    if config.corner_backend == "pallas":
+        return True
+    if config.corner_backend == "xla":
+        return False
+    return jax.default_backend() not in ("cpu",)  # auto: pallas on accelerators
+
+
+def _ranked_corner_maps(level_images, config: OrbConfig):
+    """[B, H, W] -> [B, H, W] ranked map: Harris where a FAST corner survives
+    NMS, -inf elsewhere. Pallas fused kernel on TPU, XLA ops elsewhere."""
+    if _use_pallas(config):
+        from ..ops.pallas_corner import corner_response
+
+        return corner_response(level_images, config.fast_threshold)
+    score = nms3x3(fast_score(level_images, config.fast_threshold))
+    harris = harris_response(level_images)
+    neg_inf = jnp.asarray(-jnp.inf, harris.dtype)
+    return jnp.where(score > 0.0, harris, neg_inf)
+
+
+def _detect_level(ranked, image, blurred, quota, margin, exact_topk, descriptor_bins):
     """One pyramid level for one image: top-`quota` Harris-ranked FAST corners.
 
-    image/blurred: [H, W]. Returns per-level SoA with static [quota] shape.
+    ranked/image/blurred: [H, W]. Returns per-level SoA with static [quota]
+    shape.
     """
     h, w = image.shape
-    score = nms3x3(fast_score(image[None], fast_threshold))[0]
-    harris = harris_response(image[None])[0]
-
     row = jnp.arange(h)[:, None]
     col = jnp.arange(w)[None, :]
     interior = (row >= margin) & (row < h - margin) & (col >= margin) & (col < w - margin)
-    is_corner = (score > 0.0) & interior
 
-    neg_inf = jnp.asarray(-jnp.inf, harris.dtype)
-    ranked = jnp.where(is_corner, harris, neg_inf).reshape(-1)
-    top_vals, top_idx = jax.lax.top_k(ranked, quota)
+    neg_inf = jnp.asarray(-jnp.inf, ranked.dtype)
+    ranked = jnp.where(interior, ranked, neg_inf).reshape(-1)
+    if exact_topk:
+        top_vals, top_idx = jax.lax.top_k(ranked, quota)
+    else:
+        top_vals, top_idx = jax.lax.approx_max_k(ranked, quota, recall_target=0.95)
     mask = jnp.isfinite(top_vals)
 
     x = (top_idx % w).astype(jnp.float32)
@@ -103,10 +136,19 @@ def _detect_level(image, blurred, quota, margin, fast_threshold):
     y = jnp.where(mask, y, h // 2)
     xy = jnp.stack([x, y], axis=-1)
 
-    patches = extract_patches(image, xy, PATCH_RADIUS)
-    angles = orientation(patches)
-    blurred_patches = extract_patches(blurred, xy, PATCH_RADIUS)
-    descriptors = brief_descriptors(blurred_patches, angles)
+    if descriptor_bins > 0:
+        # Fast path: ONE patch per keypoint (blurred), orientation measured
+        # on it, binned steering with static sample indices.
+        from ..ops.brief import brief_descriptors_binned
+
+        blurred_patches = extract_patches(blurred, xy, PATCH_RADIUS)
+        angles = orientation(blurred_patches)
+        descriptors = brief_descriptors_binned(blurred_patches, angles, descriptor_bins)
+    else:
+        patches = extract_patches(image, xy, PATCH_RADIUS)
+        angles = orientation(patches)
+        blurred_patches = extract_patches(blurred, xy, PATCH_RADIUS)
+        descriptors = brief_descriptors(blurred_patches, angles)
 
     return xy, jnp.where(mask, top_vals, 0.0), angles, descriptors, mask
 
@@ -147,11 +189,13 @@ def detect_and_compute(images, config: OrbConfig = OrbConfig()):
             )
             continue
         blurred = gaussian_blur(level_images)
+        ranked = _ranked_corner_maps(level_images, config)
         xy, resp, ang, desc, mask = jax.vmap(
-            lambda img, blur: _detect_level(
-                img, blur, quota, config.edge_threshold, config.fast_threshold
+            lambda rank, img, blur: _detect_level(
+                rank, img, blur, quota, config.edge_threshold, config.exact_topk,
+                config.descriptor_bins,
             )
-        )(level_images, blurred)
+        )(ranked, level_images, blurred)
         outs.append(
             OrbFeatures(
                 xy=xy * scale,

@@ -12,7 +12,7 @@ from typing import NamedTuple
 
 import jax.numpy as jnp
 
-from ..ops.hamming import match_best
+from ..ops.hamming import hamming_matrix_from_bits, match_best
 
 __all__ = ["Matches", "FeatureMatcher"]
 
@@ -73,6 +73,23 @@ class FeatureMatcher:
         dist = jnp.where(jnp.asarray(train_mask, bool)[None, :], dist, big)
         idx = jnp.argmin(dist, axis=1).astype(jnp.int32)
         return idx, jnp.min(dist, axis=1)
+
+    def match_from_bits(self, q_bits, q_pop, q_mask, t_bits, t_pop, t_mask) -> Matches:
+        """match_descriptors on pre-unpacked bits (see ops.hamming
+        descriptor_bits) — the fast path for pipelines that match every
+        frame against a neighbor and would otherwise unpack twice per pair."""
+        dist = hamming_matrix_from_bits(q_bits, q_pop, t_bits, t_pop)
+        big = jnp.int32(1 << 20)
+        if t_mask is not None:
+            dist = jnp.where(jnp.asarray(t_mask, bool)[None, :], dist, big)
+        idx = jnp.argmin(dist, axis=1).astype(jnp.int32)
+        best = jnp.min(dist, axis=1)
+        mask = jnp.ones(q_bits.shape[:1], bool)
+        if q_mask is not None:
+            mask = mask & jnp.asarray(q_mask, bool)
+        if t_mask is not None:
+            mask = mask & jnp.asarray(t_mask, bool)[idx]
+        return Matches(idx, best, mask)
 
     def filter_good_matches(self, matches: Matches, ratio: float = 2.0) -> Matches:
         """Keep matches with dist < max(ratio * min_dist, 30.0) (matcher.rs:39-66).

@@ -91,8 +91,9 @@ def triangulate_points(
     # Row normalization stabilizes the eigenproblem (cv2's SVD is scale-free).
     a = a / jnp.maximum(jnp.linalg.norm(a, axis=-1, keepdims=True), 1e-12)
     ata = jnp.einsum("nij,nik->njk", a, a)
-    _, vecs = jnp.linalg.eigh(ata)
-    xh = vecs[..., :, 0]  # [N, 4] smallest eigenvector
+    from ..ops.epipolar import smallest_eigvec
+
+    xh = smallest_eigvec(ata)  # [N, 4] null direction (Cholesky inverse iteration)
 
     w = xh[:, 3]
     w_ok = jnp.abs(w) > 1e-10  # triangulation.rs:126-128

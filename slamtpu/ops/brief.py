@@ -32,6 +32,7 @@ __all__ = [
     "extract_patches",
     "orientation",
     "brief_descriptors",
+    "brief_descriptors_binned",
 ]
 
 HALF_PATCH = 15  # orientation circle radius (OpenCV HALF_PATCH_SIZE)
@@ -141,6 +142,64 @@ def brief_descriptors(blurred_patches, angles, pattern=None):
     v1 = jnp.take_along_axis(flat, y1 * p + x1, axis=1)
     v2 = jnp.take_along_axis(flat, y2 * p + x2, axis=1)
     bits = (v1 < v2).astype(jnp.uint8)  # [K, 256]
+
+    from .hamming import pack_bits
+
+    return pack_bits(bits)
+
+
+@functools.lru_cache()
+def _binned_sample_indices(n_bins: int, patch: int = PATCH_SIZE):
+    """Static rotated-pattern sample indices per orientation bin.
+
+    [n_bins, 512] int32 flat indices into a patch: pattern endpoints rotated
+    by each bin's center angle, rounded and clipped — the ORB paper's
+    discretized steering (12 bins of 30 degrees) instead of OpenCV's
+    continuous per-keypoint rotation. With STATIC indices the per-keypoint
+    sampling becomes a shared-index take (one permutation per bin) instead
+    of a fully dynamic [K, 512] gather, which TPUs execute far faster.
+    """
+    pat = brief_pattern()  # [256, 4]
+    pts = np.concatenate([pat[:, :2], pat[:, 2:]], axis=0).astype(np.float64)  # [512, 2]
+    c = (patch - 1) // 2
+    out = np.zeros((n_bins, 512), np.int32)
+    for b in range(n_bins):
+        ang = 2.0 * np.pi * b / n_bins
+        ca, sa = np.cos(ang), np.sin(ang)
+        x = np.round(pts[:, 0] * ca - pts[:, 1] * sa).astype(np.int64) + c
+        y = np.round(pts[:, 0] * sa + pts[:, 1] * ca).astype(np.int64) + c
+        x = np.clip(x, 0, patch - 1)
+        y = np.clip(y, 0, patch - 1)
+        out[b] = (y * patch + x).astype(np.int32)
+    return out
+
+
+def brief_descriptors_binned(blurred_patches, angles, n_bins: int = 12):
+    """Steered BRIEF with discretized orientation (ORB paper, 12 bins).
+
+    Each keypoint's angle snaps to the nearest bin; all keypoints are
+    sampled with every bin's STATIC index set (cheap shared-index takes),
+    then the right bin's values are selected. Descriptors differ from the
+    continuous path by at most the sub-bin rotation (15 deg), which the
+    Hamming matcher tolerates by design — this is the original ORB
+    formulation; OpenCV's continuous rotation is its own refinement.
+    """
+    k = blurred_patches.shape[0]
+    p = blurred_patches.shape[-1]
+    flat = blurred_patches.reshape(k, p * p)
+    idx = jnp.asarray(_binned_sample_indices(n_bins, p))  # [n_bins, 512]
+
+    # [n_bins, K, 512] sampled values via shared-index takes.
+    sampled = jnp.stack([flat[:, idx[b]] for b in range(n_bins)], axis=0)
+
+    two_pi = 2.0 * jnp.pi
+    frac = (angles / two_pi) % 1.0
+    bin_idx = jnp.round(frac * n_bins).astype(jnp.int32) % n_bins  # nearest bin
+    vals = jnp.take_along_axis(
+        sampled, bin_idx[None, :, None].astype(jnp.int32), axis=0
+    )[0]  # [K, 512]
+
+    bits = (vals[:, :256] < vals[:, 256:]).astype(jnp.uint8)
 
     from .hamming import pack_bits
 

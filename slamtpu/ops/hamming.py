@@ -28,7 +28,9 @@ import jax.numpy as jnp
 __all__ = [
     "unpack_bits",
     "pack_bits",
+    "descriptor_bits",
     "hamming_matrix",
+    "hamming_matrix_from_bits",
     "hamming_matrix_popcount",
     "match_best",
     "match_top2",
@@ -53,23 +55,38 @@ def pack_bits(bits):
     return jnp.sum(grouped.astype(jnp.int32) * weights.astype(jnp.int32), axis=-1).astype(jnp.uint8)
 
 
+def descriptor_bits(packed):
+    """Pre-unpack packed descriptors for repeated matching.
+
+    [..., N, B] uint8 -> (bits [..., N, B*8] bf16, popcounts [..., N] f32).
+    Pipelines that match every frame against its neighbor should unpack once
+    per frame (here) rather than twice per pair (inside hamming_matrix).
+    """
+    bits = unpack_bits(packed).astype(jnp.bfloat16)
+    pops = jnp.sum(bits.astype(jnp.float32), axis=-1)
+    return bits, pops
+
+
+def hamming_matrix_from_bits(q_bits, q_pop, t_bits, t_pop):
+    """Pairwise Hamming distances from pre-unpacked bits (one MXU matmul)."""
+    dots = jax.lax.dot_general(
+        q_bits,
+        t_bits,
+        dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    dist = q_pop[:, None] + t_pop[None, :] - 2.0 * dots
+    return dist.astype(jnp.int32)
+
+
 def hamming_matrix(query_packed, train_packed):
     """Full pairwise Hamming distance matrix via one MXU matmul.
 
     query_packed [N, B] uint8, train_packed [M, B] uint8 -> [N, M] int32.
     """
-    q = unpack_bits(query_packed).astype(jnp.bfloat16)
-    t = unpack_bits(train_packed).astype(jnp.bfloat16)
-    dots = jax.lax.dot_general(
-        q,
-        t,
-        dimension_numbers=(((1,), (1,)), ((), ())),
-        preferred_element_type=jnp.float32,
-    )
-    q_pop = jnp.sum(q.astype(jnp.float32), axis=-1)
-    t_pop = jnp.sum(t.astype(jnp.float32), axis=-1)
-    dist = q_pop[:, None] + t_pop[None, :] - 2.0 * dots
-    return dist.astype(jnp.int32)
+    q_bits, q_pop = descriptor_bits(query_packed)
+    t_bits, t_pop = descriptor_bits(train_packed)
+    return hamming_matrix_from_bits(q_bits, q_pop, t_bits, t_pop)
 
 
 def hamming_matrix_popcount(query_packed, train_packed):

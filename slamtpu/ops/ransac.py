@@ -38,6 +38,7 @@ class RansacConfig:
     confidence: float = 0.999
     sample_size: int = 8
     refine_rounds: int = 2
+    solver: str = "chol"  # smallest-eigvec method: "chol" (fast) or "eigh"
 
 
 class RansacResult(NamedTuple):
@@ -78,7 +79,7 @@ def ransac_essential(key, pts1, pts2, mask=None, threshold_norm=1.0 / 700.0, con
     s2 = pts2[sample_idx]
 
     # --- solve + score all hypotheses at once ---------------------------
-    hyps = eight_point(s1, s2)  # [iters, 3, 3]
+    hyps = eight_point(s1, s2, method=config.solver)  # [iters, 3, 3]
     errors = sampson_error(hyps, pts1[None], pts2[None])  # [iters, N]
     inlier_mat = (errors < thresh_sq) & mask[None, :]
     counts = jnp.sum(inlier_mat.astype(jnp.int32), axis=-1)
@@ -101,7 +102,7 @@ def ransac_essential(key, pts1, pts2, mask=None, threshold_norm=1.0 / 700.0, con
         # Guard: an 8-point refit needs >= 8 rows; keep the old model if the
         # consensus collapsed (weights all ~0 would make eigh degenerate).
         enough = jnp.sum(inl.astype(jnp.int32)) >= config.sample_size
-        e_new = eight_point(pts1, pts2, weights=w)
+        e_new = eight_point(pts1, pts2, weights=w, method=config.solver)
         e_new = jnp.where(enough, e_new, e)
         err = sampson_error(e_new, pts1, pts2)
         inl_new = (err < thresh_sq) & mask

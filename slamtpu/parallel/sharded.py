@@ -65,12 +65,18 @@ def _local_vo(frames, keys, intrinsics, config, halo_feats, is_first_shard):
         lambda h, f: jnp.concatenate([h[None], f[:-1]], axis=0), halo_feats, feats
     )
 
+    # Same bits-based matching path as pipeline/vo.vo_frontend (unpack once
+    # per frame; identical arithmetic keeps sharded == serial).
+    from ..ops.hamming import descriptor_bits
+
+    q_bits, q_pops = descriptor_bits(prev.descriptors)
+    t_bits, t_pops = descriptor_bits(feats.descriptors)
+
     good = jax.vmap(
-        lambda d1, m1, d2, m2: matcher.filter_good_matches(
-            matcher.match_descriptors(d1, d2, query_mask=m1, train_mask=m2),
-            config.match_ratio,
+        lambda qb, qp, m1, tb, tp, m2: matcher.filter_good_matches(
+            matcher.match_from_bits(qb, qp, m1, tb, tp, m2), config.match_ratio
         )
-    )(prev.descriptors, prev.mask, feats.descriptors, feats.mask)
+    )(q_bits, q_pops, prev.mask, t_bits, t_pops, feats.mask)
 
     pts1 = prev.xy
     pts2 = jnp.take_along_axis(feats.xy, good.train_idx[..., None], axis=1)

@@ -159,7 +159,7 @@ def run_point_cloud(
     dtype = jnp.float64 if jax.config.jax_enable_x64 else jnp.float32
 
     feats0 = jax.tree_util.tree_map(
-        lambda x: x[0], detect_and_compute(frames[:1].astype(np.float32), config.vo.orb)
+        lambda x: x[0], detect_and_compute(frames[:1], config.vo.orb)
     )
     carry = (feats0, KeyframeState.initial(), jnp.eye(4, dtype=dtype))
 
@@ -183,7 +183,7 @@ def run_point_cloud(
 
     for start in range(0, n_pairs, chunk):
         stop = min(start + chunk, n_pairs)
-        block = frames[start + 1 : stop + 1].astype(np.float32)
+        block = frames[start + 1 : stop + 1]
         carry, res, feats_new = frontend(
             carry[0], carry[1], carry[2], block, keys[start:stop], intrinsics, config.vo
         )

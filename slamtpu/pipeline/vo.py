@@ -67,11 +67,6 @@ class VoChunkResult(NamedTuple):
     global_poses: jnp.ndarray  # [C, 4, 4] pose AFTER processing each pair
 
 
-def _match_pair(matcher: FeatureMatcher, ratio, d1, m1, d2, m2):
-    matches = matcher.match_descriptors(d1, d2, query_mask=m1, train_mask=m2)
-    return matcher.filter_good_matches(matches, ratio)
-
-
 def vo_frontend(
     prev_feats: OrbFeatures,
     kf_state: KeyframeState,
@@ -93,11 +88,18 @@ def vo_frontend(
         lambda p, f: jnp.concatenate([p[None], f], axis=0), prev_feats, feats_new
     )
 
-    good = jax.vmap(lambda d1, m1, d2, m2: _match_pair(matcher, config.match_ratio, d1, m1, d2, m2))(
-        feats_all.descriptors[:-1],
-        feats_all.mask[:-1],
-        feats_all.descriptors[1:],
-        feats_all.mask[1:],
+    # Unpack descriptor bits ONCE per frame; each frame participates in two
+    # pairs, so per-pair unpacking would double the work.
+    from ..ops.hamming import descriptor_bits
+
+    bits, pops = descriptor_bits(feats_all.descriptors)
+
+    def match_pair(q_bits, q_pop, m1, t_bits, t_pop, m2):
+        m = matcher.match_from_bits(q_bits, q_pop, m1, t_bits, t_pop, m2)
+        return matcher.filter_good_matches(m, config.match_ratio)
+
+    good = jax.vmap(match_pair)(
+        bits[:-1], pops[:-1], feats_all.mask[:-1], bits[1:], pops[1:], feats_all.mask[1:]
     )
 
     pts1 = feats_all.xy[:-1]  # [C, K, 2] query keypoints (prev frame)
@@ -222,14 +224,14 @@ def run_vo(
     step = _vo_chunk_jit
 
     first = jax.tree_util.tree_map(
-        lambda x: x[0], detect_and_compute(frames[:1].astype(np.float32), config.orb)
+        lambda x: x[0], detect_and_compute(frames[:1], config.orb)
     )
     carry = (first, KeyframeState.initial(), jnp.eye(4, dtype=jnp.float64 if jax.config.jax_enable_x64 else jnp.float32))
 
     results = []
     for start in range(0, n_pairs, chunk):
         stop = min(start + chunk, n_pairs)
-        block = frames[start + 1 : stop + 1].astype(np.float32)
+        block = frames[start + 1 : stop + 1]  # device casts to f32; uint8 halves transfer
         block_keys = keys[start:stop]
         if stop - start < chunk and chunk_size is not None:
             pad = chunk - (stop - start)

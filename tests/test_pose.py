@@ -180,6 +180,39 @@ def test_estimate_relative_pose_too_few_matches(rng):
     np.testing.assert_allclose(np.asarray(pose.translation), 0.0)
 
 
+def test_small_motion_inliers(rng):
+    """Regression: KITTI-scale forward motion produces ~2px displacements,
+    whose 8-point systems have a 3-dim near-null cluster (any antisymmetric
+    E nearly fits when x2 ~ x1). Single-vector inverse iteration scored 0
+    inliers here; the block Rayleigh-Ritz solver must match eigh."""
+    cam = CameraIntrinsics.kitti()
+    pts3d = np.stack(
+        [rng.uniform(-15, 15, 300), rng.uniform(-4, 4, 300), rng.uniform(8, 120, 300)], 1
+    )
+    r = np.eye(3)
+    t = np.array([0.0, 0.0, -0.8])  # forward step, unit-ish baseline vs deep scene
+    p1 = pts3d
+    p2 = pts3d @ r.T + t
+    vis = (p1[:, 2] > 1) & (p2[:, 2] > 1)
+    pix1 = np.asarray(cam.project(jnp.asarray(p1[vis]))).astype(np.float32)
+    pix2 = np.asarray(cam.project(jnp.asarray(p2[vis]))).astype(np.float32)
+    pix1 += rng.normal(scale=0.3, size=pix1.shape).astype(np.float32)
+    pix2 += rng.normal(scale=0.3, size=pix2.shape).astype(np.float32)
+
+    results = {}
+    for solver in ("chol", "eigh"):
+        pose = estimate_relative_pose(
+            jax.random.PRNGKey(0),
+            cam,
+            jnp.asarray(pix1),
+            jnp.asarray(pix2),
+            config=RansacConfig(iters=400, solver=solver),
+        )
+        results[solver] = int(pose.num_inliers)
+        assert bool(pose.valid), f"{solver}: no valid pose"
+    assert results["chol"] >= 0.8 * results["eigh"], results
+
+
 def test_pose_estimator_api(rng):
     cam, pix1, pix2, r, t = make_scene(rng, n=100)
     est = PoseEstimator(cam)
