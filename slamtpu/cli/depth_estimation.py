@@ -1,0 +1,81 @@
+"""Depth estimation CLI, mirroring examples/depth_estimation.rs.
+
+Usage:
+  python -m slamtpu.cli.depth_estimation <input> --encoder encoder.pth \
+      --decoder depth.pth [--width 640 --height 192] [--save DIR]
+      [--skip-frames N] [--max-frames N] [--random-init]
+
+Per-frame inference timing and an average-FPS summary are printed like the
+reference (:235-301). Without checkpoints, --random-init runs the
+architecture with random weights (timing/smoke only).
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import time
+
+import numpy as np
+
+
+def main(argv=None):
+    parser = argparse.ArgumentParser(description="slamtpu MonoDepth2 depth estimation")
+    parser.add_argument("input")
+    parser.add_argument("--encoder")
+    parser.add_argument("--decoder")
+    parser.add_argument("--random-init", action="store_true",
+                        help="run with random weights (no checkpoints; smoke/timing)")
+    parser.add_argument("--width", type=int, default=640)
+    parser.add_argument("--height", type=int, default=192)
+    parser.add_argument("--save", metavar="DIR", help="write colored depth PNGs (needs cv2)")
+    parser.add_argument("--skip-frames", type=int, default=0)
+    parser.add_argument("--max-frames", type=int)
+    parser.add_argument("--batch", type=int, default=8)
+    args = parser.parse_args(argv)
+
+    from ..depth.monodepth2 import MonoDepth2
+    from ..io.video import load_frames
+
+    if not args.random_init and not (args.encoder and args.decoder):
+        parser.error("provide --encoder/--decoder checkpoints or --random-init")
+
+    frames, _, _ = load_frames(args.input, max_frames=args.max_frames, skip_frames=args.skip_frames)
+    print(f"Loaded {frames.shape[0]} frames {frames.shape[1]}x{frames.shape[2]}")
+
+    model = MonoDepth2(
+        encoder_path=args.encoder if not args.random_init else None,
+        depth_path=args.decoder if not args.random_init else None,
+        width=args.width,
+        height=args.height,
+    )
+
+    times = []
+    for start in range(0, frames.shape[0], args.batch):
+        block = frames[start : start + args.batch]
+        t0 = time.time()
+        disp = np.asarray(model.predict(block))
+        ms = (time.time() - t0) * 1000.0
+        times.append(ms / block.shape[0])
+        print(f"Frames {start}-{start + block.shape[0] - 1}: {ms / block.shape[0]:.1f} ms/frame")
+        if args.save:
+            os.makedirs(args.save, exist_ok=True)
+            import cv2
+
+            colored = model.predict_colored(block)
+            for i in range(block.shape[0]):
+                cv2.imwrite(
+                    os.path.join(args.save, f"depth_{start + i:05d}.png"),
+                    cv2.cvtColor(colored[i], cv2.COLOR_RGB2BGR),
+                )
+
+    # Summary mirroring depth_estimation.rs:286-301 (skip the compile batch).
+    steady = times[1:] or times
+    print("\nSummary")
+    print(f"Frames processed: {frames.shape[0]}")
+    print(f"Average inference: {np.mean(steady):.1f} ms/frame")
+    print(f"Average FPS: {1000.0 / np.mean(steady):.2f}")
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,133 @@
+"""MonoDepth2 inference: JAX/Flax replacement of the tch-rs TorchScript
+wrapper (/root/reference/src/depth/monodepth2.rs).
+
+Differences from the reference, by design:
+  * preprocessing (resize to 640x192, [0,1] scaling, channel handling) is
+    FUSED into the same jit program as the network — one compiled step per
+    batch instead of the reference's CPU Mat juggling (:336-379);
+  * whole batches of frames per call instead of frame-at-a-time.
+
+Matching the reference's observable behavior:
+  * predict() returns the FULL-RESOLUTION (scale 0) disparity of the
+    4-scale decoder output (:60-201 takes index 0), min-max normalized to
+    [0, 1] (:206-251), at the model's 192x640 resolution;
+  * predict_colored() normalizes by [min, 95th percentile] and maps through
+    the magma colormap (:262-333; the reference reads a magma.png LUT — we
+    take the same 256-entry table from matplotlib).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..models.depth_decoder import DepthDecoder
+from ..models.resnet import ResNet18Encoder
+
+__all__ = ["MonoDepth2"]
+
+
+@functools.lru_cache()
+def _magma_lut():
+    """256x3 uint8 magma table (the reference's magma.png is the same map)."""
+    try:
+        import matplotlib.cm as cm
+
+        lut = (np.asarray(cm.magma(np.linspace(0, 1, 256)))[:, :3] * 255).astype(np.uint8)
+        return lut
+    except ImportError:  # pragma: no cover — grayscale fallback
+        ramp = np.arange(256, dtype=np.uint8)
+        return np.stack([ramp] * 3, axis=1)
+
+
+class MonoDepth2:
+    """Batched MonoDepth2 predictor.
+
+    Construct from converted upstream checkpoints
+    (`MonoDepth2(encoder_path="encoder.pth", depth_path="depth.pth")`, the
+    artifacts described in /root/reference/weights/README.md) or from
+    in-memory variable trees / random init (testing).
+    """
+
+    def __init__(
+        self,
+        encoder_path: Optional[str] = None,
+        depth_path: Optional[str] = None,
+        encoder_vars=None,
+        decoder_vars=None,
+        width: int = 640,
+        height: int = 192,
+        seed: int = 0,
+    ):
+        self.width = width
+        self.height = height
+        self.encoder = ResNet18Encoder()
+        self.decoder = DepthDecoder()
+
+        if encoder_path is not None:
+            from .convert import convert_decoder, convert_encoder, load_state_dict
+
+            encoder_vars = convert_encoder(load_state_dict(encoder_path))
+            decoder_vars = convert_decoder(load_state_dict(depth_path))
+        if encoder_vars is None:
+            # Random init — architecture/testing use; predictions are noise.
+            key = jax.random.PRNGKey(seed)
+            dummy = jnp.zeros((1, height, width, 3), jnp.float32)
+            encoder_vars = self.encoder.init(key, dummy)
+            feats = self.encoder.apply(encoder_vars, dummy)
+            decoder_vars = self.decoder.init(key, feats)
+        self.encoder_vars = jax.tree_util.tree_map(jnp.asarray, encoder_vars)
+        self.decoder_vars = jax.tree_util.tree_map(jnp.asarray, decoder_vars)
+
+        @functools.partial(jax.jit, static_argnums=())
+        def forward(encoder_vars, decoder_vars, images):
+            # images: [B, H, W, 3] float32 in [0, 255]; fused preprocessing.
+            x = jax.image.resize(
+                images, (images.shape[0], height, width, 3), method="linear"
+            )
+            x = x / 255.0
+            feats = self.encoder.apply(encoder_vars, x)
+            disps = self.decoder.apply(decoder_vars, feats)
+            return disps[0][..., 0]  # scale-0 disparity [B, height, width]
+
+        self._forward = forward
+
+    # -- input plumbing ---------------------------------------------------
+    def _batchify(self, image):
+        image = np.asarray(image)
+        single = image.ndim == 2 or (image.ndim == 3 and image.shape[-1] == 3)
+        if image.ndim == 2:
+            image = np.repeat(image[..., None], 3, axis=-1)
+        elif image.ndim == 3 and image.shape[-1] != 3:
+            image = np.repeat(image[..., None], 3, axis=-1)  # [T, H, W] grayscale clip
+            single = False
+        if image.ndim == 3:
+            image = image[None]
+        return image.astype(np.float32), single
+
+    def predict_raw(self, image):
+        """Sigmoid disparity in [0, 1], un-normalized. [B?, 192, 640]."""
+        batch, single = self._batchify(image)
+        disp = self._forward(self.encoder_vars, self.decoder_vars, jnp.asarray(batch))
+        return disp[0] if single else disp
+
+    def predict(self, image):
+        """Min-max-normalized disparity (monodepth2.rs:206-251)."""
+        disp = self.predict_raw(image)
+        lo = jnp.min(disp, axis=(-2, -1), keepdims=True)
+        hi = jnp.max(disp, axis=(-2, -1), keepdims=True)
+        return (disp - lo) / jnp.maximum(hi - lo, 1e-12)
+
+    def predict_colored(self, image):
+        """uint8 RGB magma visualization with 95th-percentile normalization
+        (monodepth2.rs:262-333)."""
+        disp = self.predict_raw(image)
+        lo = jnp.min(disp, axis=(-2, -1), keepdims=True)
+        hi = jnp.percentile(disp, 95.0, axis=(-2, -1), keepdims=True)
+        norm = jnp.clip((disp - lo) / jnp.maximum(hi - lo, 1e-12), 0.0, 1.0)
+        idx = np.asarray(jnp.round(norm * 255).astype(jnp.int32))
+        return _magma_lut()[idx]
