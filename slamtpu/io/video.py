@@ -59,21 +59,31 @@ def load_frames(
         assert frames.ndim == 3, "expected [T, H, W]"
         return frames[:: skip_frames + 1][:max_frames], None, 30.0
 
-    cv2 = _require_cv2()
     if os.path.isdir(spec):
         names = sorted(
             f for f in os.listdir(spec) if f.lower().endswith((".png", ".jpg", ".jpeg", ".pgm", ".bmp"))
         )
+        names = names[:: skip_frames + 1]
+        if max_frames:
+            names = names[:max_frames]
+        # Prefer the native multithreaded decoder for PNG/PGM directories
+        # (KITTI layout); fall back to cv2 for other formats.
+        if names and all(n.lower().endswith((".png", ".pgm")) for n in names):
+            from .native_loader import NativeFrameLoader, native_available
+
+            if native_available():
+                paths = [os.path.join(spec, n) for n in names]
+                with NativeFrameLoader(paths) as loader:
+                    return loader.read(len(paths)), None, 30.0
+        cv2 = _require_cv2()
         frames = []
-        for i, name in enumerate(names):
-            if skip_frames and i % (skip_frames + 1):
-                continue
+        for name in names:
             img = cv2.imread(os.path.join(spec, name), cv2.IMREAD_GRAYSCALE)
             if img is not None:
                 frames.append(img)
-            if max_frames and len(frames) >= max_frames:
-                break
         return np.stack(frames), None, 30.0
+
+    cv2 = _require_cv2()
 
     cap = cv2.VideoCapture(spec)
     if not cap.isOpened():
