@@ -17,6 +17,10 @@ import time
 def main(argv=None):
     parser = argparse.ArgumentParser(description="slamtpu point cloud mapping")
     parser.add_argument("input")
+    parser.add_argument("--fx", type=float)
+    parser.add_argument("--fy", type=float)
+    parser.add_argument("--cx", type=float)
+    parser.add_argument("--cy", type=float)
     parser.add_argument("--max-features", type=int, default=3000)  # point_cloud.rs:97
     parser.add_argument("--max-frames", type=int)
     parser.add_argument("--chunk", type=int, default=32)
@@ -25,6 +29,8 @@ def main(argv=None):
     parser.add_argument("--prune-interval", type=int, default=10)
     parser.add_argument("--map-capacity", type=int, default=65536)
     parser.add_argument("--seed", type=int, default=0)
+    parser.add_argument("--checkpoint", metavar="DIR", help="save resumable state at the end")
+    parser.add_argument("--resume", metavar="DIR", help="resume from a saved checkpoint")
     args = parser.parse_args(argv)
 
     import dataclasses
@@ -37,8 +43,12 @@ def main(argv=None):
     from ..pipeline.vo import VoConfig
 
     frames, cam, fps = load_frames(args.input, max_frames=args.max_frames)
-    cam = cam or CameraIntrinsics.kitti()
+    if args.fx is not None:
+        cam = CameraIntrinsics(args.fx, args.fy or args.fx, args.cx or 0.0, args.cy or 0.0)
+    elif cam is None:
+        cam = CameraIntrinsics.kitti()  # reference default
     print(f"Loaded {frames.shape[0]} frames {frames.shape[1]}x{frames.shape[2]}")
+    print(f"Intrinsics: fx={cam.fx} fy={cam.fy} cx={cam.cx} cy={cam.cy}")
 
     config = PointCloudConfig(
         vo=VoConfig(
@@ -52,7 +62,9 @@ def main(argv=None):
         map_capacity=args.map_capacity,
     )
     start = time.time()
-    result = run_point_cloud(frames, cam, config, chunk_size=args.chunk, seed=args.seed)
+    result = run_point_cloud(
+        frames, cam, config, chunk_size=args.chunk, seed=args.seed, resume_from=args.resume
+    )
     elapsed = time.time() - start
 
     # Summary mirroring point_cloud.rs:497-510.
@@ -68,6 +80,9 @@ def main(argv=None):
 
     result.save()
     print("saved: point_cloud.ply, point_cloud.json, trajectory_output.json")
+    if args.checkpoint:
+        result.save_checkpoint(args.checkpoint)
+        print(f"checkpoint saved: {args.checkpoint}")
 
 
 if __name__ == "__main__":

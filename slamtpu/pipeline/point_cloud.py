@@ -86,6 +86,7 @@ class PointCloudResult:
     ba_runs: int
     total_frames: int
     successful_frames: int
+    observations: tuple = None  # (obs_kf, obs_pt, obs_px) — for checkpointing
 
     def points(self):
         from ..mapping.triangulation import MapPoint
@@ -109,6 +110,21 @@ class PointCloudResult:
         save_ply(self.points(), ply)
         save_json(self.points(), pc_json)
         self.trajectory.save_to_file(traj_json)
+
+    def save_checkpoint(self, path: str) -> None:
+        """Resumable pipeline state (io/checkpoint.py); pass the directory to
+        run_point_cloud(resume_from=...) to continue on more frames."""
+        from ..io.checkpoint import save_pipeline_state
+
+        save_pipeline_state(
+            path,
+            self.map_state,
+            self.keyframe_rotations,
+            self.keyframe_translations,
+            list(self.keyframe_frame_idx),
+            self.trajectory,
+            self.observations,
+        )
 
 
 # ---------------------------------------------------------------------------
@@ -148,6 +164,7 @@ def run_point_cloud(
     config: PointCloudConfig = PointCloudConfig(),
     chunk_size: int | None = None,
     seed: int = 0,
+    resume_from: str | None = None,
 ) -> PointCloudResult:
     frames = np.asarray(frames)
     t_total = frames.shape[0]
@@ -163,20 +180,26 @@ def run_point_cloud(
     )
     carry = (feats0, KeyframeState.initial(), jnp.eye(4, dtype=dtype))
 
-    map_state = MapState.empty(config.map_capacity, jnp.float32)
-    trajectory = Trajectory()
-    matcher_k = config.vo.orb.max_features
+    if resume_from:
+        from ..io.checkpoint import load_pipeline_state
 
-    # Keyframe pose chain (correct world-to-camera). Keyframe 0 = first frame.
-    kf_rots: List[np.ndarray] = [np.eye(3)]
-    kf_trans: List[np.ndarray] = [np.zeros(3)]
-    kf_frames: List[int] = [0]
+        map_state, kf_r, kf_t, kf_frames, trajectory, obs = load_pipeline_state(resume_from)
+        kf_rots = [np.asarray(r) for r in kf_r]
+        kf_trans = [np.asarray(t) for t in kf_t]
+        obs_kf, obs_pt, obs_px = obs if obs else ([], [], [])
+        carry = (feats0, KeyframeState.initial(), jnp.asarray(trajectory.global_pose, dtype))
+    else:
+        map_state = MapState.empty(config.map_capacity, jnp.float32)
+        trajectory = Trajectory()
+        # Keyframe pose chain (correct world-to-camera); keyframe 0 = frame 0.
+        kf_rots: List[np.ndarray] = [np.eye(3)]
+        kf_trans: List[np.ndarray] = [np.zeros(3)]
+        kf_frames: List[int] = [0]
+        # Observation store for BA (host side, windowed per run).
+        obs_kf: List[int] = []
+        obs_pt: List[int] = []
+        obs_px: List[np.ndarray] = []
     kf_feats = [jax.tree_util.tree_map(np.asarray, feats0)]
-
-    # Observation store for BA (host side, fixed-width consumed per window).
-    obs_kf: List[int] = []
-    obs_pt: List[int] = []
-    obs_px: List[np.ndarray] = []
 
     ba_runs = 0
     successful = 0
@@ -276,6 +299,7 @@ def run_point_cloud(
         ba_runs=ba_runs,
         total_frames=t_total,
         successful_frames=successful,
+        observations=(obs_kf, obs_pt, obs_px),
     )
 
 
