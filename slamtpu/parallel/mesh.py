@@ -24,14 +24,15 @@ DATA_AXIS = "data"
 SEQ_AXIS = "seq"
 
 
-def make_mesh(n_devices: int | None = None, data: int | None = None) -> Mesh:
+def make_mesh(n_devices: int | None = None, data: int | None = None, devices=None) -> Mesh:
     """Build a (data, seq) mesh over the first n_devices devices.
 
     With `data` unset, uses 2 when the device count is even and >= 4, else 1
     — sequence parallelism is the more interesting axis for a single long
-    video.
+    video. Pass `devices` to build over an explicit device list (e.g. the
+    CPU backend's virtual devices while the default backend is a TPU).
     """
-    devices = jax.devices()[: n_devices or len(jax.devices())]
+    devices = (devices or jax.devices())[: n_devices or None]
     n = len(devices)
     if data is None:
         data = 2 if n % 2 == 0 and n >= 4 else 1
