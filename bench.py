@@ -129,6 +129,9 @@ def main():
         f"(last-chunk successes {successes}/{chunk})"
     )
 
+    if os.environ.get("BENCH_SECONDARY", "1") == "1":
+        _secondary_metrics(jax, frames, cam, config, blocks, keys, chunk, force, log)
+
     print(
         json.dumps(
             {
@@ -138,6 +141,80 @@ def main():
                 "vs_baseline": round(fps / 500.0, 3),
             }
         )
+    )
+
+
+def _secondary_metrics(jax, frames, cam, config, blocks, keys, chunk, force, log):
+    """The other BASELINE.json metrics, to stderr: ORB+match ms/frame and
+    BA ms/iter at 10k points (the reference prints these at runtime but
+    never recorded them)."""
+    import jax.numpy as jnp
+
+    from slamtpu.feature.detector import detect_and_compute
+    from slamtpu.feature.matcher import FeatureMatcher
+    from slamtpu.ops.hamming import descriptor_bits
+    import time
+
+    # --- ORB + match ms/frame -------------------------------------------
+    matcher = FeatureMatcher()
+
+    @jax.jit
+    def orb_match(fr):
+        feats = detect_and_compute(fr, config.orb)
+        bits, pops = descriptor_bits(feats.descriptors)
+        good = jax.vmap(
+            lambda qb, qp, m1, tb, tp, m2: matcher.filter_good_matches(
+                matcher.match_from_bits(qb, qp, m1, tb, tp, m2)
+            )
+        )(bits[:-1], pops[:-1], feats.mask[:-1], bits[1:], pops[1:], feats.mask[1:])
+        return good.mask
+
+    dev_blocks = [jax.device_put(b) for b in blocks[:3]]
+    force(orb_match(dev_blocks[0]))
+    t0 = time.time()
+    outs = [orb_match(b) for b in dev_blocks]
+    for o in outs:
+        force(o)
+    ms_frame = (time.time() - t0) / (len(dev_blocks) * chunk) * 1000
+    log(f"secondary: ORB+match {ms_frame:.2f} ms/frame")
+
+    # --- BA ms/iter @ 10k points ----------------------------------------
+    import numpy as np
+
+    from slamtpu.mapping.bundle_adjustment import BaConfig, ObservationBatch, ba_solve
+
+    rng = np.random.default_rng(0)
+    n_poses, n_points, obs_per_point = 50, 10_000, 4
+    pts = np.stack(
+        [rng.uniform(-20, 20, n_points), rng.uniform(-5, 5, n_points), rng.uniform(5, 60, n_points)], 1
+    ).astype(np.float32)
+    rots = np.tile(np.eye(3, dtype=np.float32), (n_poses, 1, 1))
+    trans = np.stack(
+        [np.array([0.3 * i, 0.0, 0.0], np.float32) for i in range(n_poses)]
+    )
+    pt_idx = np.repeat(np.arange(n_points, dtype=np.int32), obs_per_point)
+    kf_idx = rng.integers(0, n_poses, size=pt_idx.shape[0]).astype(np.int32)
+    p_cam = np.einsum("mij,mj->mi", rots[kf_idx], pts[pt_idx]) + trans[kf_idx]
+    pix = np.stack(
+        [718.0 * p_cam[:, 0] / p_cam[:, 2] + 607.0, 718.0 * p_cam[:, 1] / p_cam[:, 2] + 185.0], 1
+    ).astype(np.float32) + rng.normal(scale=0.5, size=(pt_idx.shape[0], 2)).astype(np.float32)
+    obs = ObservationBatch(
+        jnp.asarray(kf_idx), jnp.asarray(pt_idx), jnp.asarray(pix), jnp.ones(pt_idx.shape[0], bool)
+    )
+    ba_config = BaConfig(max_iterations=5, min_error_change=0.0)
+    solve = jax.jit(
+        lambda r, t, p: ba_solve(cam, r, t, p, obs, ba_config, fix_first_pose=True)
+    )
+    out = solve(jnp.asarray(rots), jnp.asarray(trans), jnp.asarray(pts))
+    force(out[3])
+    t0 = time.time()
+    out = solve(jnp.asarray(rots + 1e-5), jnp.asarray(trans), jnp.asarray(pts))
+    force(out[3])
+    iters = int(out[4])
+    ms_iter = (time.time() - t0) / max(iters, 1) * 1000
+    log(
+        f"secondary: BA {ms_iter:.1f} ms/iter at {n_points} points / {n_poses} poses "
+        f"/ {pt_idx.shape[0]} observations ({iters} iters run)"
     )
 
 

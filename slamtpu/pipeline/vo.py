@@ -44,7 +44,15 @@ from ..odometry.trajectory import Trajectory, compose_relative_transforms
 from ..ops.lie import se3_matrix
 from ..ops.ransac import RansacConfig
 
-__all__ = ["VoConfig", "VoChunkResult", "vo_chunk", "run_vo", "VoRun"]
+__all__ = [
+    "VoConfig",
+    "VoChunkResult",
+    "vo_chunk",
+    "vo_chunk_batched",
+    "run_vo",
+    "run_vo_batched",
+    "VoRun",
+]
 
 
 @dataclasses.dataclass(frozen=True)
@@ -170,6 +178,87 @@ def vo_chunk(
 
 # Module-level jit so the compile cache survives across run_vo calls.
 _vo_chunk_jit = jax.jit(vo_chunk, static_argnames=("config",))
+
+
+def vo_chunk_batched(prev_feats, kf_states, global_poses, frames, keys, intrinsics, config):
+    """vo_chunk vmapped over a leading batch of independent sequences.
+
+    Single-chip data parallelism (SURVEY.md §2's first-class equivalent of
+    the reference's absent multithreading): frames [B, C, H, W],
+    keys [B, C, 2], carries batched likewise. One jit program; the detector,
+    matcher, and RANSAC batches simply grow by B, keeping the MXU busier
+    than a single sequence can.
+    """
+    return jax.vmap(
+        lambda pf, ks, gp, fr, ky: vo_chunk(pf, ks, gp, fr, ky, intrinsics, config)
+    )(prev_feats, kf_states, global_poses, frames, keys)
+
+
+_vo_chunk_batched_jit = jax.jit(vo_chunk_batched, static_argnames=("config",))
+
+
+def run_vo_batched(frames, intrinsics, config: VoConfig = VoConfig(), chunk_size=None, seed: int = 0):
+    """run_vo over [B, T, H, W]: B independent sequences in one program.
+
+    Returns a list of B VoRun results, identical to running run_vo per
+    sequence with seed+b (same key schedule).
+    """
+    frames = np.asarray(frames)
+    b, t_total = frames.shape[:2]
+    n_pairs = t_total - 1
+    chunk = chunk_size or n_pairs
+
+    keys = jnp.stack(
+        [jax.random.split(jax.random.PRNGKey(seed + i), n_pairs) for i in range(b)]
+    )  # [B, T-1, 2]
+
+    feats0 = detect_and_compute(frames[:, 0], config.orb)
+    kf_states = jax.tree_util.tree_map(
+        lambda x: jnp.broadcast_to(x, (b,) + x.shape), KeyframeState.initial()
+    )
+    dtype = jnp.float64 if jax.config.jax_enable_x64 else jnp.float32
+    global_poses = jnp.broadcast_to(jnp.eye(4, dtype=dtype), (b, 4, 4))
+    carry = (feats0, kf_states, global_poses)
+
+    results = []
+    for start in range(0, n_pairs, chunk):
+        stop = min(start + chunk, n_pairs)
+        carry, res = _vo_chunk_batched_jit(
+            carry[0], carry[1], carry[2],
+            frames[:, start + 1 : stop + 1],
+            keys[:, start:stop],
+            intrinsics,
+            config,
+        )
+        results.append(jax.tree_util.tree_map(np.asarray, res))
+    merged = VoChunkResult(*[np.concatenate(parts, axis=1) for parts in zip(*results)])
+
+    runs = []
+    for i in range(b):
+        trajectory = Trajectory()
+        for idx in np.nonzero(merged.is_keyframe[i])[0]:
+            frame_count = idx + 2
+            trajectory.update(
+                merged.rotations[i, idx], merged.translations[i, idx],
+                frame_count, (frame_count - 1) / config.fps,
+            )
+        success = merged.success[i]
+        runs.append(
+            VoRun(
+                trajectory=trajectory,
+                total_frames=t_total,
+                successful_frames=int(success.sum()),
+                failed_frames=int((~success).sum()),
+                keyframe_count=int(merged.is_keyframe[i].sum()),
+                num_matches=merged.num_matches[i],
+                num_inliers=merged.num_inliers[i],
+                success=success,
+                is_keyframe=merged.is_keyframe[i],
+                rotations=merged.rotations[i],
+                translations=merged.translations[i],
+            )
+        )
+    return runs
 
 
 @dataclasses.dataclass

@@ -141,3 +141,18 @@ def test_trajectory_against_cv2_oracle(scene, vo_result):
     assert ate_ours <= 1.25 * ate_oracle + 0.05 * path_len, (
         f"ours {ate_ours:.3f} vs oracle {ate_oracle:.3f}"
     )
+
+
+def test_batched_matches_per_sequence(scene):
+    """run_vo_batched == run_vo per sequence (same key schedule)."""
+    from slamtpu.pipeline.vo import run_vo_batched
+
+    cfg = VoConfig(orb=OrbConfig(max_features=200), ransac=RansacConfig(iters=150))
+    frames = np.stack([scene.frames[:10], scene.frames[8:18]])  # two sequences
+    runs = run_vo_batched(frames, scene.intrinsics, cfg, seed=0)
+    assert len(runs) == 2
+    for i in range(2):
+        solo = run_vo(frames[i], scene.intrinsics, cfg, seed=i)
+        np.testing.assert_array_equal(runs[i].success, solo.success)
+        np.testing.assert_array_equal(runs[i].num_matches, solo.num_matches)
+        np.testing.assert_allclose(runs[i].rotations, solo.rotations, atol=1e-5)
