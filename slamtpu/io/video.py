@@ -59,6 +59,15 @@ def load_frames(
         assert frames.ndim == 3, "expected [T, H, W]"
         return frames[:: skip_frames + 1][:max_frames], None, 30.0
 
+    if os.path.isdir(spec) and os.path.exists(os.path.join(spec, "calib.txt")):
+        # KITTI odometry sequence directory: calib.txt + image_0/.
+        from .kitti import load_sequence
+
+        frames, cam, times = load_sequence(spec, max_frames=max_frames)
+        frames = frames[:: skip_frames + 1]
+        fps = 1.0 / max(float(np.median(np.diff(times))), 1e-6) if len(times) > 1 else 10.0
+        return frames, cam, fps
+
     if os.path.isdir(spec):
         names = sorted(
             f for f in os.listdir(spec) if f.lower().endswith((".png", ".jpg", ".jpeg", ".pgm", ".bmp"))
