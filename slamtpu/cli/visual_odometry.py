@@ -30,7 +30,10 @@ def main(argv=None):
     parser.add_argument("--chunk", type=int, default=64)
     parser.add_argument("--seed", type=int, default=0)
     parser.add_argument("--output", default="trajectory_output.json")
+    parser.add_argument("--config", metavar="JSON", help="SlamConfig file (utils/config.py)")
     args = parser.parse_args(argv)
+
+    import dataclasses
 
     from ..feature.detector import OrbConfig
     from ..io.video import load_frames
@@ -45,7 +48,13 @@ def main(argv=None):
     print(f"Loaded {frames.shape[0]} frames {frames.shape[1]}x{frames.shape[2]}")
     print(f"Intrinsics: fx={cam.fx} fy={cam.fy} cx={cam.cx} cy={cam.cy}")
 
-    config = VoConfig(orb=OrbConfig(max_features=args.max_features), fps=fps)
+    if args.config:
+        from ..utils.config import load_config
+
+        slam_cfg = load_config(args.config)
+        config = dataclasses.replace(slam_cfg.vo(), fps=fps)
+    else:
+        config = VoConfig(orb=OrbConfig(max_features=args.max_features), fps=fps)
     start = time.time()
     run = run_vo(frames, cam, config, chunk_size=args.chunk, seed=args.seed)
     elapsed = time.time() - start
