@@ -32,6 +32,14 @@ def main(argv=None):
     parser.add_argument("--skip-frames", type=int, default=0)
     parser.add_argument("--max-frames", type=int)
     parser.add_argument("--batch", type=int, default=8)
+    parser.add_argument(
+        "--fuse-vo", metavar="PLY",
+        help="also run VO and export a semi-dense world-frame cloud to PLY",
+    )
+    parser.add_argument("--fx", type=float)
+    parser.add_argument("--fy", type=float)
+    parser.add_argument("--cx", type=float)
+    parser.add_argument("--cy", type=float)
     args = parser.parse_args(argv)
 
     from ..depth.monodepth2 import MonoDepth2
@@ -75,6 +83,29 @@ def main(argv=None):
     print(f"Frames processed: {frames.shape[0]}")
     print(f"Average inference: {np.mean(steady):.1f} ms/frame")
     print(f"Average FPS: {1000.0 / np.mean(steady):.2f}")
+
+    if args.fuse_vo:
+        from ..odometry.camera import CameraIntrinsics
+        from ..pipeline.depth_mapping import disp_to_depth, run_depth_mapping
+
+        cam = None
+        if args.fx is not None:
+            cam = CameraIntrinsics(args.fx, args.fy or args.fx, args.cx or 0.0, args.cy or 0.0)
+        cam = cam or CameraIntrinsics.kitti()
+        h, w = frames.shape[1:]
+
+        def depth_fn(frame):
+            import jax
+
+            disp = model.predict_raw(frame)  # [192, 640]
+            depth = disp_to_depth(disp)
+            return np.asarray(
+                jax.image.resize(depth, (h, w), method="linear")
+            )
+
+        res = run_depth_mapping(frames, cam, depth_fn, stride=8)
+        res.save_ply(args.fuse_vo)
+        print(f"Semi-dense cloud: {len(res.points)} points -> {args.fuse_vo}")
 
 
 if __name__ == "__main__":

@@ -33,6 +33,7 @@ class SyntheticScene:
     rel_translations: np.ndarray  # [T-1, 3]
     points: np.ndarray  # [N, 3] world landmarks
     intrinsics: CameraIntrinsics
+    depths: np.ndarray = None  # [T, H, W] f32 depth maps (0 = background), when requested
 
 
 def _rot_y(angle):
@@ -69,8 +70,14 @@ def render_sequence(
     intrinsics: CameraIntrinsics | None = None,
     seed: int = 0,
     noise: float = 2.0,
+    render_depth: bool = False,
 ) -> SyntheticScene:
-    """Render a forward-driving sequence through a random landmark corridor."""
+    """Render a forward-driving sequence through a random landmark corridor.
+
+    With render_depth=True, per-pixel ground-truth depth maps are produced
+    alongside (depth of the sprite whose splat dominates the pixel; 0 where
+    only background is visible) — the oracle for depth-fusion pipelines.
+    """
     rng = np.random.default_rng(seed)
     cam = intrinsics or CameraIntrinsics(
         fx=0.9 * width, fy=0.9 * width, cx=width / 2.0, cy=height / 2.0
@@ -92,6 +99,7 @@ def render_sequence(
     rotations, translations = forward_path(n_frames, step, yaw_rate)
 
     frames = np.full((n_frames, height, width), 96.0, np.float32)
+    depths = np.zeros((n_frames, height, width), np.float32) if render_depth else None
     yy, xx = np.mgrid[0:height, 0:width].astype(np.float32)
     for f in range(n_frames):
         p_cam = points @ rotations[f].T + translations[f]
@@ -114,9 +122,13 @@ def render_sequence(
             wy = yy[sy0:sy1, sx0:sx1] - v[idx]
             wx = xx[sy0:sy1, sx0:sx1] - u[idx]
             splat = np.exp(-(wx * wx + wy * wy) / (2.0 * r * r))
-            img[sy0:sy1, sx0:sx1] = np.maximum(
-                img[sy0:sy1, sx0:sx1], 96.0 + (intensities[idx] - 96.0) * splat
-            )
+            values = 96.0 + (intensities[idx] - 96.0) * splat
+            region = img[sy0:sy1, sx0:sx1]
+            if depths is not None:
+                won = values > region
+                dreg = depths[f, sy0:sy1, sx0:sx1]
+                dreg[won] = z[idx]
+            img[sy0:sy1, sx0:sx1] = np.maximum(region, values)
         if noise:
             img += rng.normal(0.0, noise, img.shape).astype(np.float32)
 
@@ -135,4 +147,5 @@ def render_sequence(
         rel_translations=rel_t,
         points=points,
         intrinsics=cam,
+        depths=depths,
     )
