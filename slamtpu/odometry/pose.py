@@ -69,6 +69,11 @@ def estimate_relative_pose(
     # jnp (not float()): intrinsics may be a traced pytree under jit.
     threshold_norm = config.threshold / jnp.asarray(intrinsics.fx, norm1.dtype)
 
+    # Split only when the fallback needs a second stream, so fallback=False
+    # reproduces the historical draws exactly.
+    key_h = None
+    if config.homography_fallback:
+        key, key_h = jax.random.split(key)
     result: RansacResult = ransac_essential(
         key, norm1, norm2, mask=mask, threshold_norm=threshold_norm, config=config
     )
@@ -76,12 +81,29 @@ def estimate_relative_pose(
     rotation, translation, _ = recover_pose_from_essential(
         result.essential, norm1, norm2, mask=result.inliers
     )
+    num_inliers = result.num_inliers
+
+    if config.homography_fallback:
+        from ..ops.homography import ransac_homography, recover_pose_from_homography
+
+        h, h_inliers, h_count = ransac_homography(
+            key_h, norm1, norm2, mask=mask,
+            threshold_norm=threshold_norm, iters=config.homography_iters,
+        )
+        r_h, t_h, _ = recover_pose_from_homography(h, norm1, norm2, mask=h_inliers)
+        ratio = h_count.astype(norm1.dtype) / jnp.maximum(
+            (h_count + result.num_inliers).astype(norm1.dtype), 1.0
+        )
+        use_h = ratio > config.homography_ratio
+        rotation = jnp.where(use_h, r_h, rotation)
+        translation = jnp.where(use_h, t_h, translation)
+        num_inliers = jnp.where(use_h, h_count, num_inliers)
 
     # recoverPose counts only points passing cheirality among the inliers;
     # the reference then requires >= 8 (pose.rs:106-108). We approximate the
     # recount with the RANSAC inlier count (cheirality winners are a subset).
     enough_input = jnp.sum(mask.astype(jnp.int32)) >= MIN_MATCHES
-    valid = enough_input & (result.num_inliers >= MIN_MATCHES)
+    valid = enough_input & (num_inliers >= MIN_MATCHES)
 
     eye = jnp.eye(3, dtype=rotation.dtype)
     zero = jnp.zeros((3,), dtype=translation.dtype)
@@ -91,7 +113,7 @@ def estimate_relative_pose(
     return RelativePose(
         rotation=rotation,
         translation=translation,
-        num_inliers=result.num_inliers,
+        num_inliers=num_inliers,
         valid=valid,
         inliers=result.inliers,
     )

@@ -39,6 +39,13 @@ class RansacConfig:
     sample_size: int = 8
     refine_rounds: int = 2
     solver: str = "chol"  # smallest-eigvec method: "chol" (fast) or "eigh"
+    # ORB-SLAM-style model selection: also fit a homography and take the
+    # pose from its decomposition when its inlier share S_H/(S_H+S_E)
+    # exceeds homography_ratio — rescues planar scenes, where the linear
+    # essential solver is degenerate. Off by default (reference parity).
+    homography_fallback: bool = False
+    homography_ratio: float = 0.45
+    homography_iters: int = 256
 
 
 class RansacResult(NamedTuple):
