@@ -52,7 +52,9 @@ def main():
         n_frames=t_total,
         height=height,
         width=width,
-        n_points=2500,
+        # 4000 sprites keeps landmark density healthy to the corridor's end
+        # (2500 starved the last chunks: 26/32 pose successes vs 30/32).
+        n_points=4000,
         step=0.8,
         intrinsics=CameraIntrinsics.kitti(),
         seed=0,
