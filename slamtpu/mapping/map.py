@@ -85,10 +85,12 @@ def map_insert(state: MapState, positions, descriptors, mask) -> MapState:
     return MapState(
         positions=state.positions.at[slot].set(positions, mode="drop"),
         descriptors=state.descriptors.at[slot].set(descriptors, mode="drop"),
-        observations=state.observations.at[slot].set(1, mode="drop"),
+        observations=state.observations.at[slot].set(jnp.int32(1), mode="drop"),
         ids=state.ids.at[slot].set(ids, mode="drop"),
         valid=state.valid.at[slot].set(True, mode="drop"),
-        next_id=state.next_id + jnp.sum(mask.astype(jnp.int32)),
+        # dtype pinned: under x64, jnp.sum(int32) promotes to int64 and the
+        # widened next_id would poison every later ids scatter.
+        next_id=state.next_id + jnp.sum(mask, dtype=jnp.int32),
     )
 
 
