@@ -107,6 +107,7 @@ def main():
 
     t0 = time.time()
     done_frames = 0
+    results = []
     pending = None if preplaced else jax.device_put(blocks[0])
     for i in range(n_steady):
         block = blocks[i] if preplaced else pending
@@ -120,19 +121,41 @@ def main():
             cam,
             config,
         )
+        results.append(res)
         done_frames += chunk
-    success_arr = force(res.success)  # fetch = true execution barrier
+    force(results[-1].success)  # fetch = true execution barrier
     elapsed = time.time() - t0
-    successes = int(success_arr.sum())
-
     fps = done_frames / elapsed
+
+    # --- self-validation over ALL steady-state chunks --------------------
+    # A throughput number for a pipeline producing garbage poses is not a
+    # benchmark; gate on pose-success rate and rotation accuracy against the
+    # scene's exact ground truth (the reference prints the equivalent run
+    # summary, examples/visual_odometry.rs:224-239).
+    success_all = np.concatenate([force(r.success) for r in results])
+    rot_all = np.concatenate([force(r.rotations) for r in results])
+    gt_rot = scene.rel_rotations[chunk : chunk + done_frames]
+    tr = np.einsum("tij,tij->t", rot_all, gt_rot)  # trace(R_est @ R_gt^T)
+    rot_err_deg = np.degrees(np.arccos(np.clip((tr - 1.0) / 2.0, -1.0, 1.0)))
+    ok = success_all.astype(bool)
+    success_rate = float(ok.mean())
+    rot_err_med = float(np.median(rot_err_deg[ok])) if ok.any() else float("inf")
     log(
         f"steady-state: {done_frames} frames in {elapsed:.2f}s -> {fps:.1f} frames/s/chip "
-        f"(last-chunk successes {successes}/{chunk})"
+        f"(successes {int(ok.sum())}/{done_frames} = {success_rate:.1%}, "
+        f"median rot err {rot_err_med:.3f} deg vs GT)"
     )
 
     if os.environ.get("BENCH_SECONDARY", "1") == "1":
         _secondary_metrics(jax, frames, cam, config, blocks, keys, chunk, force, log)
+
+    if success_rate < 0.8 or rot_err_med > 1.0:
+        log(
+            f"BENCH VALIDATION FAILED: success_rate={success_rate:.3f} (floor 0.8), "
+            f"median rot err={rot_err_med:.3f} deg (ceiling 1.0) — refusing to "
+            "report throughput for a pipeline producing invalid poses"
+        )
+        raise SystemExit(1)
 
     print(
         json.dumps(
@@ -141,6 +164,8 @@ def main():
                 "value": round(fps, 2),
                 "unit": "frames/s",
                 "vs_baseline": round(fps / 500.0, 3),
+                "success_rate": round(success_rate, 4),
+                "rot_err_deg_median": round(rot_err_med, 4),
             }
         )
     )
@@ -217,6 +242,33 @@ def _secondary_metrics(jax, frames, cam, config, blocks, keys, chunk, force, log
     log(
         f"secondary: BA {ms_iter:.1f} ms/iter at {n_points} points / {n_poses} poses "
         f"/ {pt_idx.shape[0]} observations ({iters} iters run)"
+    )
+
+    # --- MonoDepth2 inference ms/frame ------------------------------------
+    # Named in BASELINE.json ("MonoDepth2 inference ms"; the reference prints
+    # it per frame, examples/depth_estimation.rs:235-301). Weights are random
+    # init (no checkpoint ships in this environment) — identical FLOPs to the
+    # converted checkpoint, so the timing is the real number.
+    from slamtpu.depth.monodepth2 import MonoDepth2
+
+    model = MonoDepth2()
+    depth_batch = 8
+    # Distinct inputs per timed call: this runtime memoizes identical
+    # executions (timing a repeat measures dispatch only).
+    clips = [
+        jnp.asarray(np.asarray(frames[1 + i * depth_batch : 1 + (i + 1) * depth_batch], np.float32))
+        for i in range(3)
+    ]
+    clips = [jnp.repeat(c[..., None], 3, axis=-1) for c in clips]
+    force(model._forward(model.encoder_vars, model.decoder_vars, clips[0]))
+    t0 = time.time()
+    outs = [model._forward(model.encoder_vars, model.decoder_vars, c) for c in clips]
+    for o in outs:
+        force(o)
+    ms_depth = (time.time() - t0) / (len(clips) * depth_batch) * 1000
+    log(
+        f"secondary: MonoDepth2 {ms_depth:.2f} ms/frame "
+        f"(batch {depth_batch}, 640x192, scale-0 disparity)"
     )
 
 

@@ -58,10 +58,12 @@ def save_pipeline_state(
         "global_pose": np.asarray(trajectory.global_pose),
     }
     if observations and len(observations[0]) > 0:  # orbax rejects 0-size arrays
-        obs_kf, obs_pt, obs_px = observations
+        obs_kf, obs_pt, obs_px = observations[:3]
         arrays["obs_kf"] = np.asarray(obs_kf, np.int32)
         arrays["obs_pt"] = np.asarray(obs_pt, np.int32)
         arrays["obs_px"] = np.stack(obs_px).astype(np.float32)
+        if len(observations) > 3:
+            arrays["obs_id"] = np.asarray(observations[3], np.int32)
     _checkpointer().save(path, arrays, force=True)
     with open(os.path.join(path, "trajectory.json"), "w") as f:
         f.write(trajectory.to_json())
@@ -84,10 +86,17 @@ def load_pipeline_state(path: str):
 
     observations = None
     if "obs_kf" in restored:
+        obs_pt = [int(v) for v in restored["obs_pt"]]
+        if "obs_id" in restored:
+            obs_id = [int(v) for v in restored["obs_id"]]
+        else:  # legacy checkpoint: assume slots were never recycled
+            ids_now = np.asarray(map_state.ids)
+            obs_id = [int(ids_now[s]) for s in obs_pt]
         observations = (
             [int(v) for v in restored["obs_kf"]],
-            [int(v) for v in restored["obs_pt"]],
+            obs_pt,
             [np.asarray(p) for p in restored["obs_px"]],
+            obs_id,
         )
     return (
         map_state,

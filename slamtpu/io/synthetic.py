@@ -83,15 +83,26 @@ def render_sequence(
         fx=0.9 * width, fy=0.9 * width, cx=width / 2.0, cy=height / 2.0
     )
 
-    # Landmark corridor along +z, spread laterally and vertically.
-    length = n_frames * step + 40.0
-    points = np.stack(
-        [
-            rng.uniform(-12.0, 12.0, n_points),
-            rng.uniform(-6.0, 6.0, n_points),
-            rng.uniform(2.0, length, n_points),
-        ],
-        axis=1,
+    # Landmark corridor: a tube of points that FOLLOWS the camera path (the
+    # path yaws, so a straight axis-aligned box would starve the frustum on
+    # long sequences — the camera drifts laterally out of a fixed corridor).
+    # Sample an arc-length position along the path (extended 40 units past
+    # the final frame), then offset laterally/vertically in that position's
+    # local heading frame; for a straight path this reduces exactly to the
+    # uniform box corridor.
+    n_ext = n_frames + int(np.ceil(40.0 / max(step, 1e-6)))
+    headings = yaw_rate * np.arange(n_ext + 1)
+    directions = np.stack([np.sin(headings), np.zeros(n_ext + 1), np.cos(headings)], axis=1)
+    path = np.concatenate([np.zeros((1, 3)), np.cumsum(step * directions[:-1], axis=0)])
+    s_idx = rng.uniform(2.0 / max(step, 1e-6), n_ext, n_points)
+    base = path[s_idx.astype(int)]
+    frac = (s_idx - s_idx.astype(int))[:, None]
+    base = base + frac * step * directions[s_idx.astype(int)]
+    h = headings[s_idx.astype(int)]
+    dx = rng.uniform(-12.0, 12.0, n_points)
+    dy = rng.uniform(-6.0, 6.0, n_points)
+    points = base + np.stack(
+        [dx * np.cos(h), dy, -dx * np.sin(h)], axis=1
     )
     intensities = rng.uniform(60.0, 255.0, n_points)
     sizes = rng.uniform(0.05, 0.25, n_points)  # world-space sprite radii

@@ -32,6 +32,7 @@ compatibility.
 from __future__ import annotations
 
 import dataclasses
+import functools
 from typing import List
 
 import jax
@@ -72,6 +73,7 @@ class PointCloudConfig:
     prune_interval: int = 10  # :373
     map_capacity: int = 16384
     max_ba_observations: int = 4096
+    max_ba_landmarks: int = 2048  # distinct landmarks per BA window (static shape)
     ba: BaConfig = BaConfig()
     min_observations: int = 2
 
@@ -86,7 +88,7 @@ class PointCloudResult:
     ba_runs: int
     total_frames: int
     successful_frames: int
-    observations: tuple = None  # (obs_kf, obs_pt, obs_px) — for checkpointing
+    observations: tuple = None  # (obs_kf, obs_pt, obs_px, obs_id) — for checkpointing
 
     def points(self):
         from ..mapping.triangulation import MapPoint
@@ -186,7 +188,7 @@ def run_point_cloud(
         map_state, kf_r, kf_t, kf_frames, trajectory, obs = load_pipeline_state(resume_from)
         kf_rots = [np.asarray(r) for r in kf_r]
         kf_trans = [np.asarray(t) for t in kf_t]
-        obs_kf, obs_pt, obs_px = obs if obs else ([], [], [])
+        obs_kf, obs_pt, obs_px, obs_id = obs if obs else ([], [], [], [])
         carry = (feats0, KeyframeState.initial(), jnp.asarray(trajectory.global_pose, dtype))
     else:
         map_state = MapState.empty(config.map_capacity, jnp.float32)
@@ -195,10 +197,14 @@ def run_point_cloud(
         kf_rots: List[np.ndarray] = [np.eye(3)]
         kf_trans: List[np.ndarray] = [np.zeros(3)]
         kf_frames: List[int] = [0]
-        # Observation store for BA (host side, windowed per run).
+        # Observation store for BA (host side, windowed per run). obs_pt is a
+        # map SLOT; obs_id is the landmark id occupying that slot at
+        # observation time — prune/insert recycle slots, so BA must drop any
+        # observation whose slot no longer holds the same landmark.
         obs_kf: List[int] = []
         obs_pt: List[int] = []
         obs_px: List[np.ndarray] = []
+        obs_id: List[int] = []
     kf_feats = [jax.tree_util.tree_map(np.asarray, feats0)]
 
     ba_runs = 0
@@ -273,18 +279,20 @@ def run_point_cloud(
             )
             mgood_np = np.asarray(mgood)
             midx_np = np.asarray(midx)
+            ids_np = np.asarray(map_state.ids)
             cur_xy = np.asarray(cur_feats.xy)
             kf_id = len(kf_rots) - 1
             for slot in np.nonzero(mgood_np)[0]:
                 obs_kf.append(kf_id)
                 obs_pt.append(int(slot))
                 obs_px.append(cur_xy[midx_np[slot]])
+                obs_id.append(int(ids_np[slot]))
 
             n_kf = len(kf_rots)
             if config.ba_interval and n_kf % config.ba_interval == 0 and obs_kf:
                 map_state, kf_rots, kf_trans = _run_window_ba(
                     map_state, intrinsics, kf_rots, kf_trans,
-                    obs_kf, obs_pt, obs_px, config,
+                    obs_kf, obs_pt, obs_px, obs_id, config,
                 )
                 ba_runs += 1
             if config.prune_interval and n_kf % config.prune_interval == 0:
@@ -299,49 +307,119 @@ def run_point_cloud(
         ba_runs=ba_runs,
         total_frames=t_total,
         successful_frames=successful,
-        observations=(obs_kf, obs_pt, obs_px),
+        observations=(obs_kf, obs_pt, obs_px, obs_id),
     )
 
 
-def _run_window_ba(map_state, intrinsics, kf_rots, kf_trans, obs_kf, obs_pt, obs_px, config):
-    """Windowed BA over the last ba_window keyframes, wired back."""
+@functools.partial(jax.jit, static_argnames=("ba_config", "fix_first_pose"))
+def _ba_window_solve(
+    positions,
+    rot_w, trans_w, pose_mask,
+    slots, l_mask,
+    kf_idx, pt_idx, pixels, obs_mask,
+    intrinsics, ba_config, fix_first_pose,
+):
+    """Jitted windowed-BA step on COMPACT static shapes.
+
+    The window's poses ([P_w]) and its observed-landmark subset ([L_w],
+    gathered from the full map by slot) are the whole problem — the dense
+    pose-landmark coupling inside ba_solve is [P_w, L_w, 6, 3] regardless of
+    total keyframe count or map capacity, and this function compiles once per
+    (ba_config, fix_first_pose). Optimized landmarks scatter back into the
+    full positions array.
+    """
+    pts_w = positions[slots].astype(rot_w.dtype)
+    obs = ObservationBatch(kf_idx, pt_idx, pixels, obs_mask)
+    new_rot, new_trans, new_pts, err, _ = ba_solve(
+        intrinsics, rot_w, trans_w, pts_w, obs, ba_config,
+        fix_first_pose=fix_first_pose, pose_mask=pose_mask,
+    )
+    new_positions = positions.at[slots].set(
+        jnp.where(l_mask[:, None], new_pts.astype(positions.dtype), positions[slots])
+    )
+    return new_rot, new_trans, new_positions, err
+
+
+def _run_window_ba(
+    map_state, intrinsics, kf_rots, kf_trans, obs_kf, obs_pt, obs_px, obs_id, config
+):
+    """Windowed BA over the last ba_window keyframes, wired back.
+
+    Mirrors bundle_adjustment.rs:382-401 (local BA drops observations of
+    older keyframes; pose 0 is fixed only when the window reaches it), on
+    compact static shapes: ba_window poses x max_ba_landmarks landmarks x
+    max_ba_observations observations, padded + masked.
+    """
     n_kf = len(kf_rots)
     start_idx = max(n_kf - config.ba_window, 0)
-    sel = [i for i, k in enumerate(obs_kf) if k >= start_idx]
-    if not sel:
+    p_w, m_max, l_max = config.ba_window, config.max_ba_observations, config.max_ba_landmarks
+
+    ids_np = np.asarray(map_state.ids)
+    valid_np = np.asarray(map_state.valid)
+
+    # Walk the observation log newest-first (obs_kf is chronological, so the
+    # window is a suffix), dropping observations whose slot was pruned or
+    # recycled to a different landmark since recording.
+    kf_l, pt_l, px_l = [], [], []
+    slot_to_compact: dict = {}
+    for i in range(len(obs_kf) - 1, -1, -1):
+        if obs_kf[i] < start_idx:
+            break
+        if len(kf_l) == m_max:
+            break
+        slot = obs_pt[i]
+        if not valid_np[slot] or ids_np[slot] != obs_id[i]:
+            continue
+        compact = slot_to_compact.get(slot)
+        if compact is None:
+            if len(slot_to_compact) == l_max:
+                continue
+            compact = len(slot_to_compact)
+            slot_to_compact[slot] = compact
+        kf_l.append(obs_kf[i] - start_idx)
+        pt_l.append(compact)
+        px_l.append(obs_px[i])
+    if not kf_l:
         return map_state, kf_rots, kf_trans
 
-    m_max = config.max_ba_observations
-    sel = sel[-m_max:]
-    kf_arr = np.asarray([obs_kf[i] for i in sel], np.int32)
-    pt_arr = np.asarray([obs_pt[i] for i in sel], np.int32)
-    px_arr = np.stack([obs_px[i] for i in sel]).astype(np.float32)
-    pad = m_max - len(sel)
-    mask = np.ones(len(sel), bool)
-    if pad:
-        kf_arr = np.pad(kf_arr, (0, pad))
-        pt_arr = np.pad(pt_arr, (0, pad))
-        px_arr = np.pad(px_arr, ((0, pad), (0, 0)))
-        mask = np.pad(mask, (0, pad))
+    m = len(kf_l)
+    kf_arr = np.zeros(m_max, np.int32)
+    pt_arr = np.zeros(m_max, np.int32)
+    px_arr = np.zeros((m_max, 2), np.float32)
+    obs_mask = np.zeros(m_max, bool)
+    kf_arr[:m] = kf_l
+    pt_arr[:m] = pt_l
+    px_arr[:m] = np.stack(px_l)
+    obs_mask[:m] = True
 
-    rot = jnp.asarray(np.stack(kf_rots), jnp.float32)
-    trans = jnp.asarray(np.stack(kf_trans), jnp.float32)
-    pts = map_state.positions
-    obs = ObservationBatch(
-        kf_idx=jnp.asarray(kf_arr),
-        pt_idx=jnp.asarray(pt_arr),
-        pixels=jnp.asarray(px_arr),
-        mask=jnp.asarray(mask) & np.asarray(map_state.valid)[pt_arr],
-    )
-    pose_mask = np.zeros(n_kf, bool)
-    pose_mask[start_idx:] = True
+    slots = np.zeros(l_max, np.int32)
+    l_mask = np.zeros(l_max, bool)
+    for slot, compact in slot_to_compact.items():
+        slots[compact] = slot
+        l_mask[compact] = True
 
-    new_rot, new_trans, new_pts, _, _ = ba_solve(
-        intrinsics, rot, trans, pts, obs, config.ba,
-        fix_first_pose=(start_idx == 0),
-        pose_mask=jnp.asarray(pose_mask),
+    n_window = n_kf - start_idx  # <= p_w
+    rot_w = np.tile(np.eye(3, dtype=np.float32), (p_w, 1, 1))
+    trans_w = np.zeros((p_w, 3), np.float32)
+    rot_w[:n_window] = np.stack(kf_rots[start_idx:])
+    trans_w[:n_window] = np.stack(kf_trans[start_idx:])
+    pose_mask = np.zeros(p_w, bool)
+    pose_mask[:n_window] = True
+
+    new_rot, new_trans, new_positions, _ = _ba_window_solve(
+        map_state.positions,
+        jnp.asarray(rot_w), jnp.asarray(trans_w), jnp.asarray(pose_mask),
+        jnp.asarray(slots), jnp.asarray(l_mask),
+        jnp.asarray(kf_arr), jnp.asarray(pt_arr), jnp.asarray(px_arr),
+        jnp.asarray(obs_mask),
+        intrinsics, config.ba, start_idx == 0,
     )
-    map_state = map_state._replace(positions=new_pts)
-    new_rots = [np.asarray(new_rot[i]) for i in range(n_kf)]
-    new_transs = [np.asarray(new_trans[i]) for i in range(n_kf)]
-    return map_state, new_rots, new_transs
+    map_state = map_state._replace(positions=new_positions)
+    new_rot = np.asarray(new_rot)
+    new_trans = np.asarray(new_trans)
+    kf_rots = list(kf_rots)
+    kf_trans = list(kf_trans)
+    for j in range(n_window):
+        kf_rots[start_idx + j] = new_rot[j]
+        kf_trans[start_idx + j] = new_trans[j]
+    return map_state, kf_rots, kf_trans
