@@ -49,6 +49,7 @@ def estimate_relative_pose(
     points2,
     mask=None,
     config: RansacConfig = RansacConfig(),
+    sigma=None,
 ):
     """Full two-view pose: RANSAC essential + cheirality-voted (R, t).
 
@@ -75,7 +76,8 @@ def estimate_relative_pose(
     if config.homography_fallback:
         key, key_h = jax.random.split(key)
     result: RansacResult = ransac_essential(
-        key, norm1, norm2, mask=mask, threshold_norm=threshold_norm, config=config
+        key, norm1, norm2, mask=mask, threshold_norm=threshold_norm, config=config,
+        sigma=sigma,
     )
 
     rotation, translation, _ = recover_pose_from_essential(

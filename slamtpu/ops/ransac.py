@@ -37,8 +37,16 @@ class RansacConfig:
     threshold: float = 1.0
     confidence: float = 0.999
     sample_size: int = 8
-    refine_rounds: int = 2
+    # 3 rounds: each round projects onto the essential manifold and only
+    # accepts non-degrading updates, which converges slightly slower per
+    # round than unconstrained IRLS but can never collapse the consensus.
+    refine_rounds: int = 3
     solver: str = "chol"  # smallest-eigvec method: "chol" (fast) or "eigh"
+    # Minimal solver per hypothesis: "8pt" (linear, needs 8 samples) or
+    # "5pt" (Nistér — the solver OpenCV's find_essential_mat actually runs,
+    # pose.rs:64-73; up to 14 candidate E's per 5-point sample). 5pt needs
+    # fewer inlier samples per hypothesis and has no planar degeneracy.
+    min_solver: str = "8pt"
     # ORB-SLAM-style model selection: also fit a homography and take the
     # pose from its decomposition when its inlier share S_H/(S_H+S_E)
     # exceeds homography_ratio — rescues planar scenes, where the linear
@@ -46,6 +54,12 @@ class RansacConfig:
     homography_fallback: bool = False
     homography_ratio: float = 0.45
     homography_iters: int = 256
+    # Per-octave noise model: pipelines that know each match's pyramid level
+    # pass sigma = scale^octave into ransac_essential (see its docstring).
+    # Improves translation-direction accuracy on mixed-octave match sets
+    # (coarse-level ORB keypoints carry ~scale^L px noise); OpenCV treats all
+    # matches uniformly, so disable for strict oracle-semantics comparisons.
+    octave_sigma: bool = True
 
 
 class RansacResult(NamedTuple):
@@ -55,7 +69,9 @@ class RansacResult(NamedTuple):
     best_iter_inliers: jnp.ndarray  # int32 scalar — winner count before refit
 
 
-def ransac_essential(key, pts1, pts2, mask=None, threshold_norm=1.0 / 700.0, config=RansacConfig()):
+def ransac_essential(
+    key, pts1, pts2, mask=None, threshold_norm=1.0 / 700.0, config=RansacConfig(), sigma=None
+):
     """RANSAC essential-matrix fit on normalized correspondences.
 
     Args:
@@ -66,6 +82,14 @@ def ransac_essential(key, pts1, pts2, mask=None, threshold_norm=1.0 / 700.0, con
       threshold_norm: inlier threshold in normalized units — pass
         threshold_px / fx to mirror OpenCV's pixel threshold.
       config: RansacConfig.
+      sigma: optional [N] relative noise scale per correspondence (1.0 =
+        nominal). ORB keypoints detected at pyramid level L carry ~scale^L
+        localization noise in level-0 pixels; passing sigma_i =
+        scale^max(L1_i, L2_i) makes the inlier band per-point
+        (thresh * sigma_i, ORB-SLAM's per-octave chi2 scaling), weights the
+        IRLS refit rows by 1/sigma_i, and biases hypothesis sampling toward
+        precise points (Efraimidis-Spirakis weighted top-k of uniforms:
+        u^(1/w) keys). None = uniform (exact OpenCV semantics).
 
     Returns RansacResult. The winning hypothesis is refit `refine_rounds`
     times by weighted 8-point on its inlier set (OpenCV refines the final
@@ -76,51 +100,83 @@ def ransac_essential(key, pts1, pts2, mask=None, threshold_norm=1.0 / 700.0, con
         mask = jnp.ones((n,), bool)
     mask_f = mask.astype(pts1.dtype)
     thresh_sq = jnp.asarray(threshold_norm, pts1.dtype) ** 2
+    if sigma is not None:
+        thresh_sq = thresh_sq * jnp.asarray(sigma, pts1.dtype) ** 2  # [N]
+        inv_sigma = 1.0 / jnp.maximum(jnp.asarray(sigma, pts1.dtype), 1e-6)
+    else:
+        inv_sigma = None
 
     # --- hypothesis sampling: top-k of uniforms, masked ------------------
+    sample_size = 5 if config.min_solver == "5pt" else config.sample_size
     u = jax.random.uniform(key, (config.iters, n), dtype=jnp.float32)
+    if inv_sigma is not None:
+        # Weighted sampling without replacement: key = u^(1/w), w = 1/sigma^2.
+        w = (inv_sigma * inv_sigma).astype(jnp.float32)
+        u = jnp.exp(jnp.log(jnp.maximum(u, 1e-30)) / w[None, :])
     u = jnp.where(mask[None, :], u, -jnp.inf)
-    _, sample_idx = jax.lax.top_k(u, config.sample_size)  # [iters, 8]
+    _, sample_idx = jax.lax.top_k(u, sample_size)  # [iters, S]
 
-    s1 = pts1[sample_idx]  # [iters, 8, 2]
+    s1 = pts1[sample_idx]  # [iters, S, 2]
     s2 = pts2[sample_idx]
 
     # --- solve + score all hypotheses at once ---------------------------
-    hyps = eight_point(s1, s2, method=config.solver)  # [iters, 3, 3]
-    errors = sampson_error(hyps, pts1[None], pts2[None])  # [iters, N]
-    inlier_mat = (errors < thresh_sq) & mask[None, :]
-    counts = jnp.sum(inlier_mat.astype(jnp.int32), axis=-1)
+    if config.min_solver == "5pt":
+        from .five_point import five_point_candidates
+
+        hyps, hyp_valid = five_point_candidates(s1, s2)  # [iters, R, 3, 3]
+        hyps = hyps.reshape(-1, 3, 3)
+        hyp_valid = hyp_valid.reshape(-1)
+        errors = sampson_error(hyps, pts1[None], pts2[None])  # [iters*R, N]
+        inlier_mat = (errors < thresh_sq) & mask[None, :]
+        counts = jnp.sum(inlier_mat.astype(jnp.int32), axis=-1)
+        counts = jnp.where(hyp_valid, counts, -1)
+    else:
+        hyps = eight_point(s1, s2, method=config.solver)  # [iters, 3, 3]
+        errors = sampson_error(hyps, pts1[None], pts2[None])  # [iters, N]
+        inlier_mat = (errors < thresh_sq) & mask[None, :]
+        counts = jnp.sum(inlier_mat.astype(jnp.int32), axis=-1)
 
     best = jnp.argmax(counts)
     best_count = counts[best]
     best_e = hyps[best]
-    best_inliers = inlier_mat[best]
 
     # --- iterative refit on the consensus set ---------------------------
     # Sampson-IRLS: weighting each row by 1/sqrt(gradient-norm) makes the
     # weighted algebraic least squares a first-order approximation of the
     # geometric (Sampson) minimizer — same effect as OpenCV's final
     # refinement, but as two fixed matmul/eigh rounds instead of an LM loop.
+    # The carry is always ON the essential manifold and the loop is monotone
+    # in post-projection inlier count. Scoring the raw linear refit instead is
+    # a trap: on near-planar scenes it drifts inside the degenerate
+    # (homography-consistent) family — it can keep a 100-inlier consensus as
+    # a non-essential matrix that collapses to ~25 inliers once projected
+    # (measured before this guard).
     def refit(carry, _):
         e, inl = carry
         _, denom = sampson_parts(e, pts1, pts2)
         irls = jax.lax.rsqrt(jnp.maximum(denom, 1e-18))
         w = inl.astype(pts1.dtype) * mask_f * irls
+        if inv_sigma is not None:
+            w = w * inv_sigma
         # Guard: an 8-point refit needs >= 8 rows; keep the old model if the
         # consensus collapsed (weights all ~0 would make eigh degenerate).
         enough = jnp.sum(inl.astype(jnp.int32)) >= config.sample_size
-        e_new = eight_point(pts1, pts2, weights=w, method=config.solver)
-        e_new = jnp.where(enough, e_new, e)
+        e_new = enforce_rank2(eight_point(pts1, pts2, weights=w, method=config.solver))
         err = sampson_error(e_new, pts1, pts2)
         inl_new = (err < thresh_sq) & mask
+        better = enough & (
+            jnp.sum(inl_new.astype(jnp.int32)) >= jnp.sum(inl.astype(jnp.int32))
+        )
+        e_new = jnp.where(better, e_new, e)
+        inl_new = jnp.where(better, inl_new, inl)
         return (e_new, inl_new), None
 
-    (refined_e, refined_inliers), _ = jax.lax.scan(
-        refit, (best_e, best_inliers), None, length=config.refine_rounds
+    start_e = enforce_rank2(best_e)
+    start_err = sampson_error(start_e, pts1, pts2)
+    start_inliers = (start_err < thresh_sq) & mask
+    (final_e, final_inliers), _ = jax.lax.scan(
+        refit, (start_e, start_inliers), None, length=config.refine_rounds
     )
-    final_e = enforce_rank2(refined_e)
-    final_err = sampson_error(final_e, pts1, pts2)
-    final_inliers = (final_err < thresh_sq) & mask
 
     return RansacResult(
         essential=final_e,

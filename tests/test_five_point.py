@@ -1,0 +1,177 @@
+"""Nistér 5-point minimal solver vs cv2's 5-point oracle.
+
+The reference's find_essential_mat call runs OpenCV's 5-point RANSAC
+(/root/reference/src/odometry/pose.rs:64-73); these tests pin our batched
+solver to the same minimal-problem solution set and check the robustness
+wins VERDICT.md item 5 asked for (small-N and near-planar scenes where the
+linear 8-point solver degrades).
+"""
+
+import cv2
+import jax
+import jax.numpy as jnp
+import numpy as np
+from scipy.spatial.transform import Rotation
+
+from slamtpu import CameraIntrinsics
+from slamtpu.odometry.pose import estimate_relative_pose
+from slamtpu.ops.five_point import five_point_candidates
+from slamtpu.ops.lie import hat
+from slamtpu.ops.ransac import RansacConfig
+
+
+def e_dist(a, b):
+    """Frobenius distance between unit-normalized E's, up to sign."""
+    a = a / np.linalg.norm(a)
+    b = b / np.linalg.norm(b)
+    return min(np.linalg.norm(a - b), np.linalg.norm(a + b))
+
+
+def random_two_view(rng, n, depth=(4.0, 12.0), planar=False, max_angle=0.3):
+    v = rng.normal(size=3)
+    v /= np.linalg.norm(v)
+    r = Rotation.from_rotvec(v * rng.uniform(0.02, max_angle)).as_matrix()
+    t = rng.normal(size=3)
+    t /= np.linalg.norm(t)
+    if planar:
+        # All landmarks on one plane: the classic 8-point degeneracy.
+        z0 = 0.5 * (depth[0] + depth[1])
+        pts = np.stack(
+            [rng.uniform(-3, 3, n), rng.uniform(-3, 3, n), np.full(n, z0)], 1
+        )
+    else:
+        pts = np.stack(
+            [rng.uniform(-2, 2, n), rng.uniform(-2, 2, n), rng.uniform(*depth, n)], 1
+        )
+    x1 = pts[:, :2] / pts[:, 2:3]
+    p2 = pts @ r.T + t
+    x2 = p2[:, :2] / p2[:, 2:3]
+    e_true = np.asarray(hat(jnp.asarray(t))) @ r
+    return x1, x2, r, t, e_true / np.linalg.norm(e_true)
+
+
+def test_five_point_recovers_ground_truth(rng):
+    """One candidate per minimal sample must hit the true E (30 scenes)."""
+    worst = 0.0
+    for _ in range(30):
+        x1, x2, _, _, e_true = random_two_view(rng, 5)
+        es, valid = five_point_candidates(jnp.asarray(x1), jnp.asarray(x2))
+        es, valid = np.asarray(es), np.asarray(valid)
+        best = min(
+            e_dist(es[i], e_true) for i in range(es.shape[0]) if valid[i]
+        )
+        worst = max(worst, best)
+    assert worst < 1e-6, worst
+
+
+def test_five_point_matches_cv2_solution_set(rng):
+    """Every solution cv2's minimal 5-point solver returns must appear among
+    our candidates (same polynomial, same roots)."""
+    checked = 0
+    for _ in range(12):
+        x1, x2, _, _, _ = random_two_view(rng, 5)
+        e_cv, _ = cv2.findEssentialMat(x1, x2, np.eye(3), cv2.RANSAC, 0.999, 1e-3)
+        if e_cv is None:
+            continue
+        cv_solutions = e_cv.reshape(-1, 3, 3)
+        es, valid = five_point_candidates(jnp.asarray(x1), jnp.asarray(x2))
+        es, valid = np.asarray(es), np.asarray(valid)
+        ours = [es[i] for i in range(es.shape[0]) if valid[i]]
+        for sol in cv_solutions:
+            d = min(e_dist(sol, e) for e in ours)
+            assert d < 1e-4, f"cv2 solution missing from ours (dist {d})"
+            checked += 1
+    assert checked >= 20  # enough oracle solutions actually compared
+
+
+def test_five_point_batched_shapes(rng):
+    """Arbitrary leading batch dims broadcast through the whole pipeline."""
+    x1 = np.stack([random_two_view(rng, 5)[0] for _ in range(6)]).reshape(2, 3, 5, 2)
+    x2 = np.stack([random_two_view(rng, 5)[1] for _ in range(6)]).reshape(2, 3, 5, 2)
+    es, valid = five_point_candidates(jnp.asarray(x1), jnp.asarray(x2))
+    assert es.shape[:2] == (2, 3) and es.shape[-2:] == (3, 3)
+    assert valid.shape == es.shape[:-2]
+    assert bool(jnp.any(valid))
+
+
+def _pose_errors(rng, pix1, pix2, cam, r_true, t_true, min_solver):
+    pose = estimate_relative_pose(
+        jax.random.PRNGKey(7),
+        cam,
+        jnp.asarray(pix1),
+        jnp.asarray(pix2),
+        config=RansacConfig(iters=200, min_solver=min_solver),
+    )
+    r_est = np.asarray(pose.rotation)
+    t_est = np.asarray(pose.translation)
+    rot_err = np.degrees(
+        np.linalg.norm(Rotation.from_matrix(r_est @ r_true.T).as_rotvec())
+    )
+    cos = abs(np.dot(t_est, t_true)) / max(np.linalg.norm(t_est), 1e-12)
+    t_err = np.degrees(np.arccos(np.clip(cos, -1, 1)))
+    return rot_err, t_err, bool(pose.valid)
+
+
+def test_ransac_5pt_near_planar_scene(rng):
+    """Landmarks on a near-planar wall: the linear 8-point system is (close
+    to) degenerate — its solution family contains non-essential matrices that
+    fit every correspondence, and the manifold projection of its pick lands
+    several degrees off. Nistér's cubic constraints resolve the scene: 5pt
+    must be accurate AND clearly better than 8pt here (VERDICT item 5's
+    "improves near-planar robustness")."""
+    cam = CameraIntrinsics.webcam_vga()
+    r = Rotation.from_rotvec([0.03, 0.12, -0.02]).as_matrix()
+    t = np.array([1.0, 0.15, 0.3])
+    t /= np.linalg.norm(t)
+    n = 100
+    pts = np.stack(
+        [rng.uniform(-4, 4, n), rng.uniform(-3, 3, n), 8.0 + rng.uniform(-0.15, 0.15, n)], 1
+    )
+    x1 = pts[:, :2] / pts[:, 2:3]
+    p2 = pts @ r.T + t
+    x2 = p2[:, :2] / p2[:, 2:3]
+    k = np.asarray(cam.to_matrix(jnp.float64))
+    pix1 = (np.concatenate([x1, np.ones((n, 1))], 1) @ k.T)[:, :2]
+    pix2 = (np.concatenate([x2, np.ones((n, 1))], 1) @ k.T)[:, :2]
+    pix1 += rng.normal(scale=0.1, size=pix1.shape)
+    pix2 += rng.normal(scale=0.1, size=pix2.shape)
+
+    rot5, t5, valid5 = _pose_errors(rng, pix1, pix2, cam, r, t, "5pt")
+    rot8, t8, _ = _pose_errors(rng, pix1, pix2, cam, r, t, "8pt")
+    assert valid5
+    assert rot5 < 1.0, (rot5, rot8)
+    assert t5 < 5.0, (t5, t8)
+    # The robustness win itself (measured gap: ~0.2 vs ~5 deg rotation).
+    assert rot5 < 0.5 * rot8, (rot5, rot8)
+
+
+def test_ransac_5pt_small_match_count(rng):
+    """With only 12 matches, 8-point hypotheses are starved (every sample is
+    2/3 of the data); 5-point stays well-posed."""
+    cam = CameraIntrinsics.webcam_vga()
+    x1, x2, r, t, _ = random_two_view(rng, 12)
+    k = np.asarray(cam.to_matrix(jnp.float64))
+    pix1 = (np.concatenate([x1, np.ones((12, 1))], 1) @ k.T)[:, :2]
+    pix2 = (np.concatenate([x2, np.ones((12, 1))], 1) @ k.T)[:, :2]
+    pix1 += rng.normal(scale=0.2, size=pix1.shape)
+    pix2 += rng.normal(scale=0.2, size=pix2.shape)
+
+    rot5, t5, valid5 = _pose_errors(rng, pix1, pix2, cam, r, t, "5pt")
+    assert valid5
+    assert rot5 < 0.5, rot5
+    assert t5 < 8.0, t5
+
+
+def test_ransac_5pt_with_outliers(rng):
+    """Standard RANSAC robustness, 5pt flavor."""
+    cam = CameraIntrinsics.webcam_vga()
+    x1, x2, r, t, _ = random_two_view(rng, 150)
+    k = np.asarray(cam.to_matrix(jnp.float64))
+    pix1 = (np.concatenate([x1, np.ones((150, 1))], 1) @ k.T)[:, :2]
+    pix2 = (np.concatenate([x2, np.ones((150, 1))], 1) @ k.T)[:, :2]
+    pix2[:40] = rng.uniform(0, 640, size=(40, 2))  # 27% outliers
+
+    rot5, t5, valid5 = _pose_errors(rng, pix1, pix2, cam, r, t, "5pt")
+    assert valid5
+    assert rot5 < 0.5, rot5
+    assert t5 < 5.0, t5
