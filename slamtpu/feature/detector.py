@@ -52,6 +52,19 @@ class OrbConfig:
     # TPU) with orientation measured on the blurred patch (halves the patch
     # gathers). 0 = OpenCV-style continuous rotation on the raw image.
     descriptor_bins: int = 12
+    # Sub-pixel corner localization: 3x3 quadratic fit on the per-keypoint
+    # Harris surface, applied at pyramid levels <= subpixel_max_octave only.
+    # Keypoints are otherwise integer at their pyramid level, i.e. quantized
+    # by scale_factor^level once mapped to level-0 coordinates. Measured on
+    # textured synthetic lateral scenes: the fit tightens flow error at fine
+    # levels (0.43 -> 0.37 px median at level 0) but ADDS noise at coarse
+    # levels, where the Harris surface is poorly sampled and the offset is
+    # amplified by the level scale — hence the octave gate. cv2's ORB does
+    # not refine at all (pose fidelity tests compare at the match/pose
+    # level, so beating its localization is allowed — SURVEY.md §7 hard
+    # part 1).
+    subpixel: bool = True
+    subpixel_max_octave: int = 2
 
 
 class OrbFeatures(NamedTuple):
@@ -109,7 +122,50 @@ def _ranked_corner_maps(level_images, config: OrbConfig):
     return jnp.where(score > 0.0, harris, neg_inf)
 
 
-def _detect_level(ranked, image, blurred, quota, margin, exact_topk, descriptor_bins):
+def _subpixel_offsets(image, xy):
+    """Quadratic-fit sub-pixel offsets from the local Harris surface.
+
+    image: [H, W] level image; xy: [K, 2] integer-valued keypoint coords.
+    Computes the Harris response on the central 3x3 of an 11x11 intensity
+    patch per keypoint (Sobel + 7x7 box window, the same operator as
+    `ops.harris.harris_response`) and fits a 1-D parabola per axis. Returns
+    [K, 2] offsets in (-0.5, 0.5); 0 where the response is not locally
+    concave (the NMS ran on the FAST score, so the Harris surface is not
+    guaranteed to peak at the center).
+    """
+    patches = extract_patches(image, xy, 5)  # [K, 11, 11]
+    # Sobel gradients on the interior [K, 9, 9].
+    p = patches
+    gx = (
+        (p[:, :-2, 2:] + 2.0 * p[:, 1:-1, 2:] + p[:, 2:, 2:])
+        - (p[:, :-2, :-2] + 2.0 * p[:, 1:-1, :-2] + p[:, 2:, :-2])
+    )
+    gy = (
+        (p[:, 2:, :-2] + 2.0 * p[:, 2:, 1:-1] + p[:, 2:, 2:])
+        - (p[:, :-2, :-2] + 2.0 * p[:, :-2, 1:-1] + p[:, :-2, 2:])
+    )
+
+    def box7_3x3(x):  # [K, 9, 9] -> [K, 3, 3] of 7x7 window sums
+        acc = sum(x[:, dy : dy + 3, :] for dy in range(7))
+        return sum(acc[:, :, dx : dx + 3] for dx in range(7))
+
+    sxx = box7_3x3(gx * gx)
+    syy = box7_3x3(gy * gy)
+    sxy = box7_3x3(gx * gy)
+    s = (sxx * syy - sxy * sxy) - 0.04 * (sxx + syy) ** 2  # [K, 3, 3]
+
+    def parabola(lo, c, hi):
+        denom = lo - 2.0 * c + hi
+        off = jnp.where(denom < 0, 0.5 * (lo - hi) / jnp.where(denom < 0, denom, -1.0), 0.0)
+        return jnp.clip(off, -0.5, 0.5)
+
+    dx = parabola(s[:, 1, 0], s[:, 1, 1], s[:, 1, 2])
+    dy = parabola(s[:, 0, 1], s[:, 1, 1], s[:, 2, 1])
+    return jnp.stack([dx, dy], axis=-1)
+
+
+def _detect_level(ranked, image, blurred, quota, margin, exact_topk, descriptor_bins,
+                  subpixel=True):
     """One pyramid level for one image: top-`quota` Harris-ranked FAST corners.
 
     ranked/image/blurred: [H, W]. Returns per-level SoA with static [quota]
@@ -135,6 +191,9 @@ def _detect_level(ranked, image, blurred, quota, margin, exact_topk, descriptor_
     x = jnp.where(mask, x, w // 2)
     y = jnp.where(mask, y, h // 2)
     xy = jnp.stack([x, y], axis=-1)
+    xy_out = xy + _subpixel_offsets(image, xy) if subpixel else xy
+    # Patch extraction below keeps the integer centers (dynamic_slice rounds
+    # anyway); only the reported coordinates gain the sub-pixel term.
 
     if descriptor_bins > 0:
         # Fast path: ONE patch per keypoint (blurred), orientation measured
@@ -150,7 +209,7 @@ def _detect_level(ranked, image, blurred, quota, margin, exact_topk, descriptor_
         blurred_patches = extract_patches(blurred, xy, PATCH_RADIUS)
         descriptors = brief_descriptors(blurred_patches, angles)
 
-    return xy, jnp.where(mask, top_vals, 0.0), angles, descriptors, mask
+    return xy_out, jnp.where(mask, top_vals, 0.0), angles, descriptors, mask
 
 
 @functools.partial(jax.jit, static_argnames=("config",))
@@ -194,6 +253,7 @@ def detect_and_compute(images, config: OrbConfig = OrbConfig()):
             lambda rank, img, blur: _detect_level(
                 rank, img, blur, quota, config.edge_threshold, config.exact_topk,
                 config.descriptor_bins,
+                config.subpixel and level <= config.subpixel_max_octave,
             )
         )(ranked, level_images, blurred)
         outs.append(

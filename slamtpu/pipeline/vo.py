@@ -63,6 +63,14 @@ class VoConfig:
     match_ratio: float = 2.0
     min_matches: int = 8  # visual_odometry.rs:109
     fps: float = 30.0
+    # Sub-pixel SSD alignment of matched keypoints before pose estimation
+    # (ops/patch_refine.py). Beyond-reference accuracy stage: integer ORB
+    # keypoint quantization otherwise dominates the essential matrix's
+    # translation-direction error on small baselines. Needs the previous
+    # frame's pixels (callers pass prev_frame); silently skipped when absent.
+    refine_matches: bool = True
+    refine_radius: int = 4
+    refine_search: int = 2
 
 
 class VoChunkResult(NamedTuple):
@@ -83,8 +91,16 @@ def vo_frontend(
     keys,
     intrinsics: CameraIntrinsics,
     config: VoConfig = VoConfig(),
+    step_mask=None,
+    prev_frame=None,
 ):
     """vo_chunk plus the per-frame features (for mapping pipelines).
+
+    step_mask: optional [C] bool — False marks padding steps (e.g. the tail of
+    a fixed-size chunk); they are treated as failed frames, so the carried
+    keyframe state and global pose do not advance through them.
+    prev_frame: optional [H, W] pixels of the frame before `frames[0]`;
+    enables sub-pixel match refinement (VoConfig.refine_matches).
 
     Returns ((new_prev_feats, new_kf_state, new_global_pose), VoChunkResult,
     feats_new [C]).
@@ -115,10 +131,37 @@ def vo_frontend(
     num_good = jnp.sum(good.mask.astype(jnp.int32), axis=-1)
     enough = num_good >= config.min_matches
 
+    if config.refine_matches and prev_frame is not None:
+        from ..ops.patch_refine import refine_matches
+
+        imgs = jnp.concatenate(
+            [jnp.asarray(prev_frame)[None], jnp.asarray(frames)], axis=0
+        )
+        pts2 = jax.vmap(
+            lambda a, b, p1, p2, m: refine_matches(
+                a, b, p1, p2, m, radius=config.refine_radius, search=config.refine_search
+            )
+        )(imgs[:-1], imgs[1:], pts1, pts2, good.mask)
+
+    if config.ransac.octave_sigma:
+        # Per-match noise scale from the coarser of the two keypoints'
+        # pyramid levels (see RansacConfig.octave_sigma).
+        oct1 = feats_all.octave[:-1]
+        oct2 = jnp.take_along_axis(feats_all.octave[1:], good.train_idx, axis=1)
+        sigma = jnp.asarray(config.orb.scale_factor, pts1.dtype) ** jnp.maximum(
+            oct1, oct2
+        ).astype(pts1.dtype)
+    else:
+        sigma = jnp.ones_like(pts1[..., 0])
+
     poses = jax.vmap(
-        lambda k, p1, p2, m: estimate_relative_pose(k, intrinsics, p1, p2, mask=m, config=config.ransac)
-    )(keys, pts1, pts2, good.mask)
+        lambda k, p1, p2, m, s: estimate_relative_pose(
+            k, intrinsics, p1, p2, mask=m, config=config.ransac, sigma=s
+        )
+    )(keys, pts1, pts2, good.mask, sigma)
     success = poses.valid & enough
+    if step_mask is not None:
+        success = success & step_mask
 
     # Keyframe selection: serial scan; failed frames leave the state untouched
     # (the reference never calls should_be_keyframe on them).
@@ -162,16 +205,23 @@ def vo_chunk(
     keys,
     intrinsics: CameraIntrinsics,
     config: VoConfig = VoConfig(),
+    step_mask=None,
+    prev_frame=None,
 ):
     """Process C new frames against the carried previous frame.
 
     prev_feats: OrbFeatures of the frame before `frames[0]` (no batch dim).
     frames: [C, H, W]; keys: [C, 2] PRNG keys (one per pair).
+    step_mask: optional [C] bool; False entries are padding and leave the
+    carried state untouched (see vo_frontend).
+    prev_frame: optional [H, W] pixels of the frame before `frames[0]` for
+    sub-pixel match refinement.
     Returns ((new_prev_feats, new_kf_state, new_global_pose), VoChunkResult).
     Pure and jit-able; wrap with jit(static config) at the call site.
     """
     carry, result, _ = vo_frontend(
-        prev_feats, kf_state, global_pose, frames, keys, intrinsics, config
+        prev_feats, kf_state, global_pose, frames, keys, intrinsics, config, step_mask,
+        prev_frame,
     )
     return carry, result
 
@@ -180,7 +230,8 @@ def vo_chunk(
 _vo_chunk_jit = jax.jit(vo_chunk, static_argnames=("config",))
 
 
-def vo_chunk_batched(prev_feats, kf_states, global_poses, frames, keys, intrinsics, config):
+def vo_chunk_batched(prev_feats, kf_states, global_poses, frames, keys, intrinsics, config,
+                     prev_frames=None):
     """vo_chunk vmapped over a leading batch of independent sequences.
 
     Single-chip data parallelism (SURVEY.md §2's first-class equivalent of
@@ -190,8 +241,10 @@ def vo_chunk_batched(prev_feats, kf_states, global_poses, frames, keys, intrinsi
     than a single sequence can.
     """
     return jax.vmap(
-        lambda pf, ks, gp, fr, ky: vo_chunk(pf, ks, gp, fr, ky, intrinsics, config)
-    )(prev_feats, kf_states, global_poses, frames, keys)
+        lambda pf, ks, gp, fr, ky, pfr: vo_chunk(
+            pf, ks, gp, fr, ky, intrinsics, config, None, pfr
+        )
+    )(prev_feats, kf_states, global_poses, frames, keys, prev_frames)
 
 
 _vo_chunk_batched_jit = jax.jit(vo_chunk_batched, static_argnames=("config",))
@@ -229,6 +282,7 @@ def run_vo_batched(frames, intrinsics, config: VoConfig = VoConfig(), chunk_size
             keys[:, start:stop],
             intrinsics,
             config,
+            frames[:, start] if config.refine_matches else None,
         )
         results.append(jax.tree_util.tree_map(np.asarray, res))
     merged = VoChunkResult(*[np.concatenate(parts, axis=1) for parts in zip(*results)])
@@ -322,11 +376,22 @@ def run_vo(
         stop = min(start + chunk, n_pairs)
         block = frames[start + 1 : stop + 1]  # device casts to f32; uint8 halves transfer
         block_keys = keys[start:stop]
-        if stop - start < chunk and chunk_size is not None:
-            pad = chunk - (stop - start)
-            block = np.concatenate([block, np.repeat(block[-1:], pad, 0)], 0)
-            block_keys = jnp.concatenate([block_keys, jnp.repeat(block_keys[-1:], pad, 0)], 0)
-        carry, res = step(carry[0], carry[1], carry[2], block, block_keys, intrinsics, config)
+        # Fixed-size chunking pads the tail by repeating the last frame; the
+        # step_mask marks padded steps so they can't advance the carried
+        # keyframe state / global pose (they behave as failed frames). Always
+        # passing a mask keeps the jit cache to one entry per chunk shape.
+        step_mask = None
+        if chunk_size is not None:
+            step_mask = np.arange(chunk) < (stop - start)
+            if stop - start < chunk:
+                pad = chunk - (stop - start)
+                block = np.concatenate([block, np.repeat(block[-1:], pad, 0)], 0)
+                block_keys = jnp.concatenate([block_keys, jnp.repeat(block_keys[-1:], pad, 0)], 0)
+        prev_frame = frames[start] if config.refine_matches else None
+        carry, res = step(
+            carry[0], carry[1], carry[2], block, block_keys, intrinsics, config, step_mask,
+            prev_frame,
+        )
         res = jax.tree_util.tree_map(lambda x: np.asarray(x[: stop - start]), res)
         results.append(res)
 
