@@ -14,11 +14,14 @@ trajectory composition — jitted over a `jax.sharding.Mesh`:
          totals along `seq`, and multiplies in its prefix offset — a
          distributed associative scan in two hops.
 
-  Keyframe selection is the one sequentially-dependent piece: each seq shard
-  scans from a fresh selector state, so decisions within `max_frames` of a
-  shard boundary can differ from the serial pipeline (under the default
-  config every successful frame is a keyframe — see pipeline/vo.py — and the
-  approximation is exact). This is the documented seq-parallel tradeoff.
+  Keyframe selection is the one sequentially-dependent piece. Its scan state
+  is tiny (a rotation, a translation, two counters), so instead of
+  approximating it per shard, every shard `all_gather`s the per-frame scan
+  INPUTS (relative pose + match count + success — ~14 floats/frame) along
+  `seq` and runs the full-sequence scan REDUNDANTLY, then slices out its own
+  shard's decisions. The scalar scan is negligible next to detection/RANSAC,
+  and sharded == serial EXACTLY for every keyframe config (not just the
+  default where each successful frame is a keyframe).
 """
 
 from __future__ import annotations
@@ -53,11 +56,14 @@ class ShardedVoResult(NamedTuple):
     num_matches: jnp.ndarray  # [B, T] int32
 
 
-def _local_vo(frames, keys, intrinsics, config, halo_feats, is_first_shard):
+def _local_vo(frames, keys, intrinsics, config, halo_feats, is_first_shard,
+              halo_frame=None):
     """Per-shard, per-sequence VO over [T_local] frames.
 
     halo_feats: features of the left neighbor's last frame (garbage on the
-    first seq shard — masked via is_first_shard).
+    first seq shard — masked via is_first_shard). halo_frame: that frame's
+    pixels (same masking), for sub-pixel match refinement parity with the
+    serial pipeline.
     """
     matcher = FeatureMatcher()
     feats = detect_and_compute(frames, config.orb)  # [T_local, K, ...]
@@ -83,16 +89,58 @@ def _local_vo(frames, keys, intrinsics, config, halo_feats, is_first_shard):
     num_good = jnp.sum(good.mask.astype(jnp.int32), axis=-1)
     enough = num_good >= config.min_matches
 
+    # Identical accuracy stages to pipeline/vo.vo_frontend (sharded == serial):
+    # sub-pixel SSD refinement, then per-octave sigma for the pose solver.
+    if config.refine_matches and halo_frame is not None:
+        from ..ops.patch_refine import refine_matches
+
+        prev_imgs = jnp.concatenate([halo_frame[None], frames[:-1]], axis=0)
+        pts2 = jax.vmap(
+            lambda a, b, p1, p2, m: refine_matches(
+                a, b, p1, p2, m, radius=config.refine_radius, search=config.refine_search
+            )
+        )(prev_imgs, frames, pts1, pts2, good.mask)
+
+    if config.ransac.octave_sigma:
+        oct2 = jnp.take_along_axis(feats.octave, good.train_idx, axis=1)
+        sigma = jnp.asarray(config.orb.scale_factor, pts1.dtype) ** jnp.maximum(
+            prev.octave, oct2
+        ).astype(pts1.dtype)
+    else:
+        sigma = jnp.ones_like(pts1[..., 0])
+
     poses = jax.vmap(
-        lambda k, p1, p2, m: estimate_relative_pose(
-            k, intrinsics, p1, p2, mask=m, config=config.ransac
+        lambda k, p1, p2, m, s: estimate_relative_pose(
+            k, intrinsics, p1, p2, mask=m, config=config.ransac, sigma=s
         )
-    )(keys, pts1, pts2, good.mask)
+    )(keys, pts1, pts2, good.mask, sigma)
 
     # Pair 0 of the first shard has no real predecessor.
     t_idx = jnp.arange(frames.shape[0])
     valid_pair = ~(is_first_shard & (t_idx == 0))
     success = poses.valid & enough & valid_pair
+
+    last_feats = jax.tree_util.tree_map(lambda x: x[-1], feats)
+    return poses, success, num_good, last_feats
+
+
+def _keyframe_scan_exact(config, rotations, translations, num_good, success, seq_rank):
+    """Cross-shard-exact keyframe decisions for this shard's frames.
+
+    The selector state must thread serially through the WHOLE sequence, but
+    its per-frame inputs are ~14 floats: gather them along `seq`, scan the
+    full sequence on every shard (redundant, negligible), slice the local
+    piece. Identical arithmetic to pipeline/vo.vo_frontend's scan, so the
+    sharded pipeline reproduces the serial keyframe schedule for EVERY
+    KeyframeConfig, including max_frames/ratio-driven ones.
+    """
+    t_local = success.shape[0]
+    gathered = jax.lax.all_gather(
+        (rotations, translations, num_good, success), SEQ_AXIS
+    )  # [S, T_local, ...]
+    full = jax.tree_util.tree_map(
+        lambda x: x.reshape(-1, *x.shape[2:]), gathered
+    )
 
     def kf_body(state, inp):
         rot, trans, n, ok = inp
@@ -100,16 +148,8 @@ def _local_vo(frames, keys, intrinsics, config, halo_feats, is_first_shard):
         state_out = jax.tree_util.tree_map(lambda a, b: jnp.where(ok, a, b), stepped, state)
         return state_out, kf & ok
 
-    _, is_kf = jax.lax.scan(
-        kf_body, KeyframeState.initial(), (poses.rotation, poses.translation, num_good, success)
-    )
-
-    rel = se3_matrix(poses.rotation, poses.translation)
-    rel = jnp.where(is_kf[:, None, None], rel, jnp.eye(4, dtype=rel.dtype))
-    local_prefix = compose_relative_transforms(rel)  # [T_local, 4, 4]
-
-    last_feats = jax.tree_util.tree_map(lambda x: x[-1], feats)
-    return poses, success, is_kf, num_good, local_prefix, last_feats
+    _, is_kf_full = jax.lax.scan(kf_body, KeyframeState.initial(), full)
+    return jax.lax.dynamic_slice_in_dim(is_kf_full, seq_rank * t_local, t_local)
 
 
 def sharded_vo_step(mesh, frames, keys, intrinsics: CameraIntrinsics, config: VoConfig = VoConfig()):
@@ -146,9 +186,22 @@ def sharded_vo_step(mesh, frames, keys, intrinsics: CameraIntrinsics, config: Vo
                 )[0],
                 last,
             )
-            poses, success, is_kf, num_good, local_prefix, _ = _local_vo(
-                seq_frames, seq_keys, intrinsics, config, halo, is_first
+            halo_frame = None
+            if config.refine_matches:
+                halo_frame = jax.lax.ppermute(
+                    seq_frames[-1],
+                    SEQ_AXIS,
+                    [(i, (i + 1) % n_seq) for i in range(n_seq)],
+                )
+            poses, success, num_good, _ = _local_vo(
+                seq_frames, seq_keys, intrinsics, config, halo, is_first, halo_frame
             )
+            is_kf = _keyframe_scan_exact(
+                config, poses.rotation, poses.translation, num_good, success, seq_rank
+            )
+            rel = se3_matrix(poses.rotation, poses.translation)
+            rel = jnp.where(is_kf[:, None, None], rel, jnp.eye(4, dtype=rel.dtype))
+            local_prefix = compose_relative_transforms(rel)  # [T_local, 4, 4]
 
             # Distributed prefix product along seq.
             local_total = local_prefix[-1]
