@@ -148,6 +148,7 @@ def main():
 
     if os.environ.get("BENCH_SECONDARY", "1") == "1":
         _secondary_metrics(jax, frames, cam, config, blocks, keys, chunk, force, log)
+        _flagship_metric(jax, frames, cam, chunk, force, log)
 
     if success_rate < 0.8 or rot_err_med > 1.0:
         log(
@@ -198,16 +199,18 @@ def _secondary_metrics(jax, frames, cam, config, blocks, keys, chunk, force, log
 
     dev_blocks = [jax.device_put(b) for b in blocks[:3]]
     force(orb_match(dev_blocks[0]))
-    t0 = time.time()
-    outs = [orb_match(b) for b in dev_blocks]
-    for o in outs:
-        force(o)
-    ms_frame = (time.time() - t0) / (len(dev_blocks) * chunk) * 1000
-    log(f"secondary: ORB+match {ms_frame:.2f} ms/frame")
+    samples = []
+    for b in dev_blocks:  # distinct inputs per sample (memoizing runtime)
+        t0 = time.time()
+        force(orb_match(b))
+        samples.append((time.time() - t0) / chunk * 1000)
+    ms_frame = float(np.median(samples))
+    log(
+        f"secondary: ORB+match {ms_frame:.2f} ms/frame "
+        f"(samples {', '.join(f'{s:.2f}' for s in samples)})"
+    )
 
     # --- BA ms/iter @ 10k points ----------------------------------------
-    import numpy as np
-
     from slamtpu.mapping.bundle_adjustment import BaConfig, ObservationBatch, ba_solve
 
     rng = np.random.default_rng(0)
@@ -234,14 +237,20 @@ def _secondary_metrics(jax, frames, cam, config, blocks, keys, chunk, force, log
     )
     out = solve(jnp.asarray(rots), jnp.asarray(trans), jnp.asarray(pts))
     force(out[3])
-    t0 = time.time()
-    out = solve(jnp.asarray(rots + 1e-5), jnp.asarray(trans), jnp.asarray(pts))
-    force(out[3])
-    iters = int(out[4])
-    ms_iter = (time.time() - t0) / max(iters, 1) * 1000
+    # 3 perturbed repeats (distinct inputs — the runtime memoizes identical
+    # executions); report the median to absorb tunnel jitter.
+    samples = []
+    for rep in range(1, 4):
+        t0 = time.time()
+        out = solve(jnp.asarray(rots + rep * 1e-5), jnp.asarray(trans), jnp.asarray(pts))
+        force(out[3])
+        iters = int(out[4])
+        samples.append((time.time() - t0) / max(iters, 1) * 1000)
+    ms_iter = float(np.median(samples))
     log(
         f"secondary: BA {ms_iter:.1f} ms/iter at {n_points} points / {n_poses} poses "
-        f"/ {pt_idx.shape[0]} observations ({iters} iters run)"
+        f"/ {pt_idx.shape[0]} observations ({iters} iters run; "
+        f"samples {', '.join(f'{s:.1f}' for s in samples)})"
     )
 
     # --- MonoDepth2 inference ms/frame ------------------------------------
@@ -269,6 +278,51 @@ def _secondary_metrics(jax, frames, cam, config, blocks, keys, chunk, force, log
     log(
         f"secondary: MonoDepth2 {ms_depth:.2f} ms/frame "
         f"(batch {depth_batch}, 640x192, scale-0 disparity)"
+    )
+
+
+def _flagship_metric(jax, frames, cam, chunk, force, log):
+    """BASELINE config 4: the flagship point_cloud pipeline end-to-end —
+    VO frontend + keyframe matching + triangulation + map insertion +
+    re-association + windowed BA + pruning (examples/point_cloud.rs:154-490)
+    — via the scan-fused phase 2 (one device program per chunk,
+    pipeline/point_cloud.py run_point_cloud_fused). Reports end-to-end
+    frames/s and keyframes/s over the steady-state portion."""
+    import time
+
+    import numpy as np
+
+    from slamtpu.feature.detector import OrbConfig
+    from slamtpu.mapping.keyframe import KeyframeConfig
+    from slamtpu.ops.ransac import RansacConfig
+    from slamtpu.pipeline.point_cloud import PointCloudConfig, run_point_cloud_fused
+    from slamtpu.pipeline.vo import VoConfig
+
+    cfg = PointCloudConfig(
+        vo=VoConfig(
+            orb=OrbConfig(max_features=500),
+            ransac=RansacConfig(iters=128),
+            keyframe=KeyframeConfig(0.03, 0.03, 0.7, 3),  # point_cloud.rs:113-119
+        ),
+        map_capacity=16384,
+    )
+    n = frames.shape[0]
+    # Warmup on the first 2 chunks (compiles both phase programs), then the
+    # full sequence once for the steady-state rate. Distinct inputs per run
+    # (this runtime memoizes identical executions).
+    t0 = time.time()
+    run_point_cloud_fused(frames[: 2 * chunk + 1], cam, cfg, chunk_size=chunk, seed=1)
+    log(f"flagship compile+warmup: {time.time() - t0:.1f}s")
+    t0 = time.time()
+    res = run_point_cloud_fused(frames, cam, cfg, chunk_size=chunk, seed=0)
+    elapsed = time.time() - t0
+    n_kf = int(res.keyframe_frame_idx.shape[0])
+    fps = (n - 1) / elapsed
+    log(
+        f"secondary: point_cloud {fps:.1f} frames/s end-to-end "
+        f"({n_kf} keyframes -> {n_kf / elapsed:.1f} kf/s, {res.ba_runs} BA runs, "
+        f"{int(np.asarray(res.map_state.valid).sum())} landmarks, "
+        f"{res.successful_frames}/{n - 1} successes)"
     )
 
 

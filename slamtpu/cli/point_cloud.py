@@ -31,6 +31,13 @@ def main(argv=None):
     parser.add_argument("--seed", type=int, default=0)
     parser.add_argument("--checkpoint", metavar="DIR", help="save resumable state at the end")
     parser.add_argument("--resume", metavar="DIR", help="resume from a saved checkpoint")
+    parser.add_argument(
+        "--rerun", action="store_true",
+        help="log to the Rerun viewer (needs the rerun package; point_cloud.rs --rerun)",
+    )
+    parser.add_argument(
+        "--rerun-save", metavar="PATH", help="write the Rerun log to a .rrd file"
+    )
     args = parser.parse_args(argv)
 
     import dataclasses
@@ -61,9 +68,18 @@ def main(argv=None):
         prune_interval=args.prune_interval,
         map_capacity=args.map_capacity,
     )
+    rerun_logger = None
+    if args.rerun or args.rerun_save:
+        from ..utils.metrics import RerunLogger
+
+        rerun_logger = RerunLogger(save_path=args.rerun_save)
+        if not rerun_logger.active:
+            print("Warning: Rerun not available. pip install rerun-sdk")  # point_cloud.rs:75
+
     start = time.time()
     result = run_point_cloud(
-        frames, cam, config, chunk_size=args.chunk, seed=args.seed, resume_from=args.resume
+        frames, cam, config, chunk_size=args.chunk, seed=args.seed,
+        resume_from=args.resume, rerun_logger=rerun_logger,
     )
     elapsed = time.time() - start
 

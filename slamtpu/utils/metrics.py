@@ -87,44 +87,150 @@ class MetricsLog:
 
 
 class RerunLogger:
-    """Optional Rerun logging (examples/point_cloud.rs:546-770 equivalent).
+    """Optional Rerun logging, mirroring the reference's viewer surface
+    (examples/point_cloud.rs:546-770): same entity paths, colors, radii, and
+    per-frame time sequence. Degrades to a no-op when the `rerun` package is
+    unavailable — the cargo `rerun` feature's analog (point_cloud.rs:61-75).
 
-    Degrades to a no-op when the `rerun` package is unavailable — the cargo
-    `rerun` feature's analog."""
+    Event cadence matches the reference main loop (point_cloud.rs:169-394):
+    every frame logs the image; every successful pose logs the camera
+    transform; every keyframe logs the 2D match overlay + side-by-side match
+    image; every BA run logs the 3D map points and the trajectory strip.
+    """
 
-    def __init__(self, app_id: str = "slamtpu", enabled: bool = True):
+    def __init__(self, app_id: str = "slamtpu", enabled: bool = True, save_path: str | None = None):
         self._rr = None
         if not enabled:
             return
-        try:  # pragma: no cover — rerun is not installed in this image
+        try:
             import rerun as rr
-
-            rr.init(app_id, spawn=False)
-            self._rr = rr
         except ImportError:
             self._rr = None
+            return
+        rr.init(app_id, spawn=False)
+        if save_path:
+            rr.save(save_path)
+        self._rr = rr
+        # Right-Up-Back view coordinates, static (point_cloud.rs:149).
+        try:
+            rr.log("world", rr.ViewCoordinates.RUB, static=True)
+        except (AttributeError, TypeError):
+            pass  # older rerun API; view coords are cosmetic
 
     @property
     def active(self) -> bool:
         return self._rr is not None
 
-    def log_trajectory(self, positions):  # pragma: no cover
+    def set_frame(self, frame: int):
+        """set_time_sequence("frame", n) (point_cloud.rs:173)."""
         if self._rr:
-            self._rr.log("world/trajectory", self._rr.LineStrips3D([np.asarray(positions)]))
+            self._rr.set_time_sequence("frame", int(frame))
 
-    def log_points(self, positions, colors=None):  # pragma: no cover
-        if self._rr:
-            self._rr.log("world/points", self._rr.Points3D(np.asarray(positions), colors=colors))
+    def log_trajectory(self, positions):
+        """Green 3D line strip at world/trajectory (point_cloud.rs:726-755);
+        skipped below 2 points like the reference."""
+        positions = np.asarray(positions, np.float32)
+        if self._rr and positions.shape[0] >= 2:
+            self._rr.log(
+                "world/trajectory",
+                self._rr.LineStrips3D(
+                    [positions], colors=[[0, 255, 0]], radii=[0.01]
+                ),
+            )
 
-    def log_camera(self, rotation, translation):  # pragma: no cover
+    def log_points(self, positions, colors=None):
+        """Depth-colored Points3D at world/points (point_cloud.rs:688-724);
+        default colors use the blue->green->red 0..50m heatmap shared with
+        the PLY exporter (depth_to_color, point_cloud.rs:757-770)."""
+        positions = np.asarray(positions, np.float32)
+        if not self._rr or positions.shape[0] == 0:
+            return
+        if colors is None:
+            from ..io.export import depth_to_color_ply
+
+            colors = np.asarray([depth_to_color_ply(z) for z in positions[:, 2]], np.uint8)
+        self._rr.log(
+            "world/points",
+            self._rr.Points3D(positions, colors=colors, radii=[0.02]),
+        )
+
+    def log_camera(self, rotation, translation):
+        """Camera-to-world Transform3D at world/camera (point_cloud.rs:
+        573-599; rotation/translation arrive world-to-camera, as stored)."""
         if self._rr:
-            r_ctw = np.asarray(rotation).T
-            t_ctw = -r_ctw @ np.asarray(translation)
+            r_ctw = np.asarray(rotation, np.float32).T
+            t_ctw = -r_ctw @ np.asarray(translation, np.float32)
             self._rr.log("world/camera", self._rr.Transform3D(translation=t_ctw, mat3x3=r_ctw))
 
-    def log_frame(self, image):  # pragma: no cover
+    def log_frame(self, image):
+        """Camera image at world/camera/image (point_cloud.rs:546-571);
+        grayscale input is expanded to RGB like the reference's cvt_color."""
         if self._rr:
-            self._rr.log("world/camera/image", self._rr.Image(np.asarray(image)))
+            self._rr.log("world/camera/image", self._rr.Image(_to_rgb(image)))
+
+    def log_matches_2d(self, pts_prev, pts_cur, max_points: int = 100):
+        """Keyframe match keypoints overlaid on the camera image: previous
+        keyframe green, current red, radius 3, capped at 100 for visibility
+        (point_cloud.rs:601-641)."""
+        if not self._rr:
+            return
+        n = min(len(pts_prev), len(pts_cur), max_points)
+        p1 = np.asarray(pts_prev, np.float32)[:n]
+        p2 = np.asarray(pts_cur, np.float32)[:n]
+        self._rr.log(
+            "world/camera/image",
+            self._rr.Points2D(p1, colors=[[0, 255, 0]], radii=[3.0]),
+        )
+        self._rr.log(
+            "world/camera/image",
+            self._rr.Points2D(p2, colors=[[255, 0, 0]], radii=[3.0]),
+        )
+
+    def log_matches_image(self, prev_image, image, pts_prev, pts_cur):
+        """Side-by-side keyframe match image at world/keyframe_matches
+        (point_cloud.rs:643-686 — there via cv2::draw_matches; here a
+        dependency-free numpy render of the same picture: both frames
+        concatenated, green match lines, red endpoint dots)."""
+        if self._rr:
+            canvas = draw_match_image(prev_image, image, pts_prev, pts_cur)
+            self._rr.log("world/keyframe_matches", self._rr.Image(canvas))
+
+
+def _to_rgb(image) -> np.ndarray:
+    img = np.asarray(image)
+    if img.dtype != np.uint8:
+        img = np.clip(img, 0, 255).astype(np.uint8)
+    if img.ndim == 2:
+        img = np.repeat(img[:, :, None], 3, axis=2)
+    return img
+
+
+def draw_match_image(img1, img2, pts1, pts2, max_lines: int = 200) -> np.ndarray:
+    """Pure-numpy analog of cv2::draw_matches' side-by-side picture: frames
+    concatenated horizontally, green match segments, red keypoint dots."""
+    a, b = _to_rgb(img1), _to_rgb(img2)
+    h = max(a.shape[0], b.shape[0])
+    canvas = np.zeros((h, a.shape[1] + b.shape[1], 3), np.uint8)
+    canvas[: a.shape[0], : a.shape[1]] = a
+    canvas[: b.shape[0], a.shape[1] :] = b
+    off = a.shape[1]
+    p1 = np.asarray(pts1, np.float32).reshape(-1, 2)[:max_lines]
+    p2 = np.asarray(pts2, np.float32).reshape(-1, 2)[:max_lines]
+    n = min(len(p1), len(p2))
+    for (x1, y1), (x2, y2) in zip(p1[:n], p2[:n]):
+        steps = int(max(abs(x2 + off - x1), abs(y2 - y1), 1)) + 1
+        xs = np.linspace(x1, x2 + off, steps).round().astype(int)
+        ys = np.linspace(y1, y2, steps).round().astype(int)
+        ok = (ys >= 0) & (ys < h) & (xs >= 0) & (xs < canvas.shape[1])
+        canvas[ys[ok], xs[ok]] = (0, 255, 0)
+    for pts, xoff, color in ((p1[:n], 0, (255, 0, 0)), (p2[:n], off, (255, 0, 0))):
+        for x, y in pts:
+            yy, xx = int(round(y)), int(round(x)) + xoff
+            y0, y1_ = max(yy - 1, 0), min(yy + 2, h)
+            x0, x1_ = max(xx - 1, 0), min(xx + 2, canvas.shape[1])
+            if y0 < y1_ and x0 < x1_:
+                canvas[y0:y1_, x0:x1_] = color
+    return canvas
 
 
 @contextlib.contextmanager

@@ -131,3 +131,90 @@ def test_save_artifacts(pc_result, tmp_path):
         assert traj[0] == {"frame": 0, "position": [0.0, 0.0, 0.0], "timestamp": 0.0}
     finally:
         os.chdir(cwd)
+
+
+def test_fused_pipeline_matches_host_loop():
+    """The scan-fused phase 2 (run_point_cloud_fused) must reproduce the
+    host-loop pipeline: identical keyframe schedule and map census, poses
+    within numerical-path tolerance (the fused path runs BA in the chain
+    dtype and caps observations per keyframe instead of globally)."""
+    from slamtpu.odometry.camera import CameraIntrinsics
+    from slamtpu.pipeline.point_cloud import run_point_cloud_fused
+
+    scene = render_sequence(
+        n_frames=20, height=120, width=160, n_points=400, step=0.25,
+        intrinsics=CameraIntrinsics(fx=120.0, fy=120.0, cx=80.0, cy=60.0),
+        seed=1, noise=1.0,
+    )
+    cfg = PointCloudConfig(
+        vo=VoConfig(
+            orb=OrbConfig(max_features=128, n_levels=4),
+            ransac=RansacConfig(iters=128),
+        ),
+        map_capacity=2048,
+        max_obs_per_kf=1024,
+    )
+    host = run_point_cloud(scene.frames, scene.intrinsics, cfg, chunk_size=8)
+    fused = run_point_cloud_fused(scene.frames, scene.intrinsics, cfg, chunk_size=8)
+
+    np.testing.assert_array_equal(host.keyframe_frame_idx, fused.keyframe_frame_idx)
+    assert host.ba_runs == fused.ba_runs
+    assert host.successful_frames == fused.successful_frames
+    n_host = int(np.asarray(host.map_state.valid).sum())
+    n_fused = int(np.asarray(fused.map_state.valid).sum())
+    assert abs(n_host - n_fused) <= max(3, 0.02 * n_host), (n_host, n_fused)
+    # Observation logs agree up to the per-KF cap.
+    assert abs(len(host.observations[0]) - len(fused.observations[0])) <= 0.05 * len(
+        host.observations[0]
+    )
+    # Poses: same chain up to BA numerical-path differences.
+    path = np.linalg.norm(np.diff(host.keyframe_translations, axis=0), axis=1).sum()
+    dt = np.linalg.norm(
+        host.keyframe_translations - fused.keyframe_translations, axis=1
+    ).max()
+    dr = np.linalg.norm(
+        host.keyframe_rotations - fused.keyframe_rotations, axis=(1, 2)
+    ).max()
+    assert dr < 0.02, dr
+    assert dt < 0.03 * path, (dt, path)
+
+
+def test_fused_pipeline_no_ba_exact_match():
+    """With BA disabled the two pipelines share every numerical path: the
+    keyframe chains must agree to float tolerance and the maps exactly."""
+    import dataclasses
+
+    from slamtpu.odometry.camera import CameraIntrinsics
+    from slamtpu.pipeline.point_cloud import run_point_cloud_fused
+
+    scene = render_sequence(
+        n_frames=14, height=120, width=160, n_points=400, step=0.25,
+        intrinsics=CameraIntrinsics(fx=120.0, fy=120.0, cx=80.0, cy=60.0),
+        seed=2, noise=1.0,
+    )
+    cfg = PointCloudConfig(
+        vo=VoConfig(
+            orb=OrbConfig(max_features=128, n_levels=4),
+            ransac=RansacConfig(iters=128),
+        ),
+        map_capacity=2048,
+        max_obs_per_kf=1024,
+        ba_interval=0,
+    )
+    host = run_point_cloud(scene.frames, scene.intrinsics, cfg, chunk_size=8)
+    fused = run_point_cloud_fused(scene.frames, scene.intrinsics, cfg, chunk_size=8)
+
+    np.testing.assert_array_equal(host.keyframe_frame_idx, fused.keyframe_frame_idx)
+    np.testing.assert_allclose(
+        host.keyframe_rotations, fused.keyframe_rotations, atol=1e-12
+    )
+    np.testing.assert_allclose(
+        host.keyframe_translations, fused.keyframe_translations, atol=1e-10
+    )
+    np.testing.assert_array_equal(
+        np.asarray(host.map_state.valid), np.asarray(fused.map_state.valid)
+    )
+    np.testing.assert_array_equal(
+        np.asarray(host.map_state.ids), np.asarray(fused.map_state.ids)
+    )
+    assert len(host.observations[0]) == len(fused.observations[0])
