@@ -98,8 +98,14 @@ Image decode_png(const std::vector<uint8_t>& buf) {
     const char* type = (const char*)&buf[pos + 4];
     const uint8_t* data = &buf[pos + 8];
     if (!memcmp(type, "IHDR", 4)) {
+      if (len < 13) return img;  // truncated IHDR: fields below would read OOB
       width = be32(data);
       height = be32(data + 4);
+      // Reject implausible dimensions before they size an allocation
+      // (corrupt headers can otherwise request multi-GB buffers).
+      if (width == 0 || height == 0 || width > 1u << 16 || height > 1u << 16 ||
+          (uint64_t)width * height > (1u << 28))
+        return img;
       bit_depth = data[8];
       color_type = data[9];
       interlace = data[12];
@@ -232,8 +238,12 @@ struct Loader {
       if (!img.ok) {
         // Decode failure -> zero frame of the output size (consumer keeps
         // shape stability; mirrors the pipelines' masked-failure handling).
-        if (fh == 0) fh = frame_h ? frame_h : 1;
-        if (fw == 0) fw = frame_w ? frame_w : 1;
+        // frame_h/frame_w are shared with concurrent workers: read under mu.
+        if (fh == 0 || fw == 0) {
+          std::lock_guard<std::mutex> lk(mu);
+          if (fh == 0) fh = frame_h ? frame_h : 1;
+          if (fw == 0) fw = frame_w ? frame_w : 1;
+        }
         frame.assign((size_t)fh * fw, 0);
       } else if (out_h && out_w && (img.h != out_h || img.w != out_w)) {
         frame.resize((size_t)out_h * out_w);

@@ -89,9 +89,11 @@ def fast_score(images, threshold: float = 20.0):
 def nms3x3(score):
     """3x3 non-maximum suppression: keep strictly-greater-than-neighbors maxima.
 
-    score: [B, H, W]. Returns the score map with non-maxima zeroed. Ties go to
-    the earlier pixel in raster order (matching cv2.FAST behavior closely
-    enough for match-level fidelity).
+    score: [B, H, W]. Returns the score map with non-maxima zeroed. Exact-tie
+    plateaus of equal adjacent scores are suppressed on BOTH sides (strict >):
+    no raster-order tie-break, unlike cv2.FAST. Ties are vanishingly rare with
+    float Harris/FAST scores, and the Pallas kernel matches this behavior, so
+    backends stay consistent.
     """
     neighbor_max = None
     for dy in (-1, 0, 1):
