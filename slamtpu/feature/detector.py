@@ -109,50 +109,32 @@ def _use_pallas(config: OrbConfig) -> bool:
     return jax.default_backend() not in ("cpu",)  # auto: pallas on accelerators
 
 
-def _ranked_corner_maps(level_images, config: OrbConfig):
-    """[B, H, W] -> [B, H, W] ranked map: Harris where a FAST corner survives
-    NMS, -inf elsewhere. Pallas fused kernel on TPU, XLA ops elsewhere."""
+def _ranked_corner_maps(level_images, config: OrbConfig, with_harris: bool = False):
+    """[B, H, W] -> ranked map [B, H, W]: Harris where a FAST corner survives
+    NMS, -inf elsewhere. Pallas fused kernel on TPU, XLA ops elsewhere.
+    with_harris=True also returns the dense Harris map (for sub-pixel fits)."""
     if _use_pallas(config):
         from ..ops.pallas_corner import corner_response
 
-        return corner_response(level_images, config.fast_threshold)
+        return corner_response(level_images, config.fast_threshold, with_harris=with_harris)
     score = nms3x3(fast_score(level_images, config.fast_threshold))
     harris = harris_response(level_images)
     neg_inf = jnp.asarray(-jnp.inf, harris.dtype)
-    return jnp.where(score > 0.0, harris, neg_inf)
+    ranked = jnp.where(score > 0.0, harris, neg_inf)
+    return (ranked, harris) if with_harris else ranked
 
 
-def _subpixel_offsets(image, xy):
-    """Quadratic-fit sub-pixel offsets from the local Harris surface.
+def _subpixel_offsets(harris_map, xy):
+    """Quadratic-fit sub-pixel offsets from the dense Harris surface.
 
-    image: [H, W] level image; xy: [K, 2] integer-valued keypoint coords.
-    Computes the Harris response on the central 3x3 of an 11x11 intensity
-    patch per keypoint (Sobel + 7x7 box window, the same operator as
-    `ops.harris.harris_response`) and fits a 1-D parabola per axis. Returns
-    [K, 2] offsets in (-0.5, 0.5); 0 where the response is not locally
-    concave (the NMS ran on the FAST score, so the Harris surface is not
-    guaranteed to peak at the center).
+    harris_map: [H, W] dense response (free byproduct of corner ranking);
+    xy: [K, 2] integer-valued keypoint coords. Gathers each keypoint's 3x3
+    neighborhood and fits a 1-D parabola per axis. Returns [K, 2] offsets in
+    (-0.5, 0.5); 0 where the response is not locally concave (the NMS ran on
+    the FAST score, so the Harris surface is not guaranteed to peak at the
+    center).
     """
-    patches = extract_patches(image, xy, 5)  # [K, 11, 11]
-    # Sobel gradients on the interior [K, 9, 9].
-    p = patches
-    gx = (
-        (p[:, :-2, 2:] + 2.0 * p[:, 1:-1, 2:] + p[:, 2:, 2:])
-        - (p[:, :-2, :-2] + 2.0 * p[:, 1:-1, :-2] + p[:, 2:, :-2])
-    )
-    gy = (
-        (p[:, 2:, :-2] + 2.0 * p[:, 2:, 1:-1] + p[:, 2:, 2:])
-        - (p[:, :-2, :-2] + 2.0 * p[:, :-2, 1:-1] + p[:, :-2, 2:])
-    )
-
-    def box7_3x3(x):  # [K, 9, 9] -> [K, 3, 3] of 7x7 window sums
-        acc = sum(x[:, dy : dy + 3, :] for dy in range(7))
-        return sum(acc[:, :, dx : dx + 3] for dx in range(7))
-
-    sxx = box7_3x3(gx * gx)
-    syy = box7_3x3(gy * gy)
-    sxy = box7_3x3(gx * gy)
-    s = (sxx * syy - sxy * sxy) - 0.04 * (sxx + syy) ** 2  # [K, 3, 3]
+    s = extract_patches(harris_map, xy, 1)  # [K, 3, 3]
 
     def parabola(lo, c, hi):
         denom = lo - 2.0 * c + hi
@@ -165,7 +147,7 @@ def _subpixel_offsets(image, xy):
 
 
 def _detect_level(ranked, image, blurred, quota, margin, exact_topk, descriptor_bins,
-                  subpixel=True):
+                  harris_map=None):
     """One pyramid level for one image: top-`quota` Harris-ranked FAST corners.
 
     ranked/image/blurred: [H, W]. Returns per-level SoA with static [quota]
@@ -191,7 +173,7 @@ def _detect_level(ranked, image, blurred, quota, margin, exact_topk, descriptor_
     x = jnp.where(mask, x, w // 2)
     y = jnp.where(mask, y, h // 2)
     xy = jnp.stack([x, y], axis=-1)
-    xy_out = xy + _subpixel_offsets(image, xy) if subpixel else xy
+    xy_out = xy + _subpixel_offsets(harris_map, xy) if harris_map is not None else xy
     # Patch extraction below keeps the integer centers (dynamic_slice rounds
     # anyway); only the reported coordinates gain the sub-pixel term.
 
@@ -248,14 +230,23 @@ def detect_and_compute(images, config: OrbConfig = OrbConfig()):
             )
             continue
         blurred = gaussian_blur(level_images)
-        ranked = _ranked_corner_maps(level_images, config)
-        xy, resp, ang, desc, mask = jax.vmap(
-            lambda rank, img, blur: _detect_level(
-                rank, img, blur, quota, config.edge_threshold, config.exact_topk,
-                config.descriptor_bins,
-                config.subpixel and level <= config.subpixel_max_octave,
-            )
-        )(ranked, level_images, blurred)
+        want_sub = config.subpixel and level <= config.subpixel_max_octave
+        maps = _ranked_corner_maps(level_images, config, with_harris=want_sub)
+        ranked, harris_maps = maps if want_sub else (maps, None)
+        if want_sub:
+            xy, resp, ang, desc, mask = jax.vmap(
+                lambda rank, img, blur, hm: _detect_level(
+                    rank, img, blur, quota, config.edge_threshold, config.exact_topk,
+                    config.descriptor_bins, hm,
+                )
+            )(ranked, level_images, blurred, harris_maps)
+        else:
+            xy, resp, ang, desc, mask = jax.vmap(
+                lambda rank, img, blur: _detect_level(
+                    rank, img, blur, quota, config.edge_threshold, config.exact_topk,
+                    config.descriptor_bins,
+                )
+            )(ranked, level_images, blurred)
         outs.append(
             OrbFeatures(
                 xy=xy * scale,

@@ -45,7 +45,7 @@ def _roll_cols(x, dx):
     return pltpu.roll(x, (-dx) % x.shape[1], axis=1) if dx else x
 
 
-def _kernel(img_ref, out_ref, scratch, sem, *, threshold, band_rows, width):
+def _kernel(img_ref, out_ref, harris_ref, scratch, sem, *, threshold, band_rows, width):
     b = pl.program_id(0)
     band = pl.program_id(1)
 
@@ -130,12 +130,18 @@ def _kernel(img_ref, out_ref, scratch, sem, *, threshold, band_rows, width):
     harris = (sxx * syy - sxy * sxy) - 0.04 * (sxx + syy) * (sxx + syy)
 
     out_ref[0, :, :] = jnp.where(keep, harris, NEG_INF)
+    if harris_ref is not None:
+        # Dense response for sub-pixel quadratic fits (3x3 neighborhoods of
+        # selected corners) — already computed, one extra VMEM->HBM write.
+        harris_ref[0, :, :] = harris
 
 
-@functools.partial(jax.jit, static_argnames=("threshold", "interpret"))
-def corner_response(images, threshold: float = 20.0, interpret: bool = False):
+@functools.partial(jax.jit, static_argnames=("threshold", "interpret", "with_harris"))
+def corner_response(images, threshold: float = 20.0, interpret: bool = False,
+                    with_harris: bool = False):
     """[B, H, W] f32 -> ranked corner map [B, H, W]: Harris response where a
-    FAST-9 corner survives NMS, -inf elsewhere."""
+    FAST-9 corner survives NMS, -inf elsewhere. With with_harris=True also
+    returns the dense (un-ranked) Harris map as a second array."""
     b, h, w = images.shape
     n_bands = pl.cdiv(h, BAND_ROWS)
     h_pad = n_bands * BAND_ROWS
@@ -146,20 +152,29 @@ def corner_response(images, threshold: float = 20.0, interpret: bool = False):
         mode="edge",
     )
 
+    band_spec = pl.BlockSpec(
+        (1, BAND_ROWS, w_pad), lambda i, j: (i, j, 0), memory_space=pltpu.VMEM
+    )
+    band_shape = jax.ShapeDtypeStruct((b, h_pad, w_pad), jnp.float32)
+    kernel = functools.partial(
+        _kernel, threshold=threshold, band_rows=BAND_ROWS, width=w_pad
+    )
+    if not with_harris:
+        kernel = functools.partial(lambda i, o, s, sem, k: k(i, o, None, s, sem), k=kernel)
+
     out = pl.pallas_call(
-        functools.partial(
-            _kernel, threshold=threshold, band_rows=BAND_ROWS, width=w_pad
-        ),
+        kernel,
         grid=(b, n_bands),
         in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
-        out_specs=pl.BlockSpec(
-            (1, BAND_ROWS, w_pad), lambda i, j: (i, j, 0), memory_space=pltpu.VMEM
-        ),
-        out_shape=jax.ShapeDtypeStruct((b, h_pad, w_pad), jnp.float32),
+        out_specs=(band_spec, band_spec) if with_harris else band_spec,
+        out_shape=(band_shape, band_shape) if with_harris else band_shape,
         scratch_shapes=[
             pltpu.VMEM((BAND_ROWS + 2 * HALO, w_pad), jnp.float32),
             pltpu.SemaphoreType.DMA,
         ],
         interpret=interpret,
     )(padded)
+    if with_harris:
+        ranked, harris = out
+        return ranked[:, :h, :w], harris[:, :h, :w]
     return out[:, :h, :w]

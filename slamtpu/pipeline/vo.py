@@ -63,12 +63,16 @@ class VoConfig:
     match_ratio: float = 2.0
     min_matches: int = 8  # visual_odometry.rs:109
     fps: float = 30.0
-    # Sub-pixel SSD alignment of matched keypoints before pose estimation
-    # (ops/patch_refine.py). Beyond-reference accuracy stage: integer ORB
-    # keypoint quantization otherwise dominates the essential matrix's
-    # translation-direction error on small baselines. Needs the previous
-    # frame's pixels (callers pass prev_frame); silently skipped when absent.
-    refine_matches: bool = True
+    # Optional sub-pixel SSD alignment of matched keypoints before pose
+    # estimation (ops/patch_refine.py). Off by default: it tightens per-match
+    # flow error (median 0.7 -> 0.53 px on textured synthetic lateral
+    # scenes) but the template-anchored alignment is measurably BIASED over
+    # long sequences — composed-trajectory ATE got 1.6x worse with it on
+    # (0.72x vs 1.16x the cv2-oracle ATE on the 160-frame fair-lateral
+    # scene), while the detector's Harris sub-pixel fit plus per-octave
+    # RANSAC sigma deliver the accuracy win bias-free. Kept as an option for
+    # short-window uses (stereo-style pairs) where bias cannot accumulate.
+    refine_matches: bool = False
     refine_radius: int = 4
     refine_search: int = 2
 
