@@ -1,0 +1,125 @@
+"""North-star trajectory accuracy: ATE vs the full reference pipeline.
+
+BASELINE.md's accuracy target is "ATE within 1% of the reference pipeline".
+The reference pipeline here is the cv2 oracle of examples/visual_odometry.rs
+(see oracle_vo.py — the reference's BA is computed then discarded, SURVEY.md
+§3.2, so VO composition is its trajectory). Round 1's gate was loose
+(1.25x + slack on a 25-frame forward clip where BOTH pipelines are ~10 deg
+noisy, VERDICT.md weakness 4); this test measures the ATE ratio directly on
+a long, WELL-CONDITIONED, FAIR sequence and asserts the north-star bound.
+
+Scene design notes (measured, see PARITY.md):
+  * lateral tracking with the epipole far outside the image is the
+    well-conditioned geometry for essential estimation;
+  * the track direction is deliberately OFF-AXIS (1, 0.18, 0.10): with
+    exactly axis-aligned motion the ground-truth flow field is exactly
+    horizontal, integer keypoint quantization snaps five-point minimal
+    samples into EXACT consistency with the true essential matrix, and the
+    comparison flatters whichever pipeline quantizes harder;
+  * sprites carry per-sprite angular texture — isotropic Gaussian splats
+    give every sprite a near-identical BRIEF descriptor and both pipelines'
+    matching degenerates to chance;
+  * 640x480 at fx=576 keeps the 1 px RANSAC threshold tight in normalized
+    units, as on real cameras.
+
+Measured on this scene (160 frames): ours/oracle ATE ratio ~0.72 — the
+TPU pipeline (5-point + per-octave sigma + Harris sub-pixel) BEATS the
+reference pipeline; the gate asserts the 1.01x north star with that margin.
+"""
+
+import numpy as np
+import pytest
+
+from slamtpu.feature.detector import OrbConfig
+from slamtpu.io.synthetic import render_sequence
+from slamtpu.ops.ransac import RansacConfig
+from slamtpu.pipeline.vo import VoConfig, run_vo
+
+from oracle_vo import compose_positions, cv2_vo_relative
+
+N_FRAMES = 160
+
+
+@pytest.fixture(scope="module")
+def fair_lateral_scene():
+    return render_sequence(
+        n_frames=N_FRAMES,
+        height=480,
+        width=640,
+        n_points=3000,
+        step=0.25,
+        seed=11,
+        noise=1.5,
+        motion="lateral",
+        lateral_depth=(6.0, 18.0),
+        sprite_size=(0.12, 0.4),
+        lateral_dir=(1.0, 0.18, 0.10),
+        textured=True,
+    )
+
+
+@pytest.fixture(scope="module")
+def fair_run(fair_lateral_scene):
+    scene = fair_lateral_scene
+    cfg = VoConfig(
+        orb=OrbConfig(max_features=800),
+        ransac=RansacConfig(iters=256, min_solver="5pt"),
+    )
+    return run_vo(scene.frames, scene.intrinsics, cfg, chunk_size=32, seed=0)
+
+
+def test_ate_within_north_star(fair_lateral_scene, fair_run):
+    scene = fair_lateral_scene
+    run = fair_run
+    oracle_rel = cv2_vo_relative(scene.frames, scene.intrinsics, nfeatures=800)
+
+    n_pairs = scene.frames.shape[0] - 1
+    assert run.successful_frames >= 0.95 * n_pairs, (
+        f"ours only {run.successful_frames}/{n_pairs} successes"
+    )
+    common = [i for i in range(n_pairs) if run.success[i] and i in oracle_rel]
+    assert len(common) >= 0.9 * n_pairs, f"only {len(common)} common pairs"
+
+    ours = compose_positions([(run.rotations[i], run.translations[i]) for i in common])
+    oracle = compose_positions([oracle_rel[i] for i in common])
+    gt = compose_positions(
+        [
+            (
+                scene.rel_rotations[i],
+                scene.rel_translations[i] / np.linalg.norm(scene.rel_translations[i]),
+            )
+            for i in common
+        ]
+    )
+
+    ate_ours = float(np.sqrt(np.mean(np.sum((ours - gt) ** 2, axis=1))))
+    ate_oracle = float(np.sqrt(np.mean(np.sum((oracle - gt) ** 2, axis=1))))
+    path_len = float(len(common))  # unit steps
+    print(
+        f"\nATE over {len(common)} steps: ours {ate_ours:.4f}, "
+        f"reference-oracle {ate_oracle:.4f}, ratio {ate_ours / max(ate_oracle, 1e-12):.3f}"
+    )
+
+    # Absolute sanity: the composed drift stays a small fraction of path.
+    assert ate_ours / path_len < 0.2, f"ATE {ate_ours:.3f} over {path_len:.0f} steps"
+    # The north-star bound: at most 1% worse than the reference pipeline.
+    # (Measured ~0.72x — comfortably better; see module docstring.)
+    assert ate_ours <= 1.01 * ate_oracle, (
+        f"ours {ate_ours:.4f} vs reference {ate_oracle:.4f} "
+        f"(ratio {ate_ours / max(ate_oracle, 1e-12):.3f} > 1.01)"
+    )
+
+
+def test_per_step_direction_accuracy(fair_lateral_scene, fair_run):
+    """Secondary: median per-step translation-direction error must stay
+    tight on the well-conditioned geometry (no oracle needed, GT exact)."""
+    scene = fair_lateral_scene
+    run = fair_run
+    dir_errs = []
+    for i in np.nonzero(run.success)[0]:
+        t_gt = scene.rel_translations[i] / np.linalg.norm(scene.rel_translations[i])
+        cos = abs(np.dot(run.translations[i], t_gt)) / max(
+            np.linalg.norm(run.translations[i]), 1e-12
+        )
+        dir_errs.append(np.degrees(np.arccos(np.clip(cos, -1, 1))))
+    assert np.median(dir_errs) < 8.0, f"median dir err {np.median(dir_errs):.2f} deg"
