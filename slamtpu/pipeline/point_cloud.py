@@ -659,29 +659,44 @@ def _fused_phase2_chunk(
                 & state.valid[ring_slots]
                 & (state.ids[ring_slots] == ring_ids)
             )
-            obs = ObservationBatch(
-                kf_idx=jnp.repeat(jnp.arange(w, dtype=jnp.int32), o_cap),
-                pt_idx=ring_slots.reshape(-1),
-                pixels=ring_px.reshape(-1, 2).astype(ring_rot.dtype),
-                mask=obs_ok.reshape(-1),
+            # In-graph landmark compaction: BA over the FULL map capacity
+            # made each solve ~0.44 s at 16384 slots (the [P_w, L, 6, 3]
+            # coupling scales with L); the window observes at most w*o_cap
+            # distinct slots, so dedupe them (sort + first-occurrence +
+            # re-sort) into l_max static rows and remap pt_idx via
+            # searchsorted — same compact problem the host-loop
+            # _run_window_ba builds, but branch-free under jit.
+            l_max = min(config.max_ba_landmarks, w * o_cap)
+            big = jnp.int32(state.capacity)
+            flat_slots = ring_slots.reshape(-1)
+            flat_ok = obs_ok.reshape(-1)
+            keyed = jnp.where(flat_ok, flat_slots, big)
+            skeys = jnp.sort(keyed)
+            firsts = jnp.concatenate(
+                [jnp.ones((1,), bool), skeys[1:] != skeys[:-1]]
             )
+            uniq = jnp.sort(jnp.where(firsts, skeys, big))[:l_max]
+            l_mask_c = uniq < big
+            slots_c = jnp.where(l_mask_c, uniq, 0)
+            pt_c = jnp.clip(jnp.searchsorted(uniq, flat_slots), 0, l_max - 1)
+            ok_c = flat_ok & (uniq[pt_c] == flat_slots)
             # Gauge + scale anchor: freeze the window's two oldest live
             # poses (same rationale as _run_window_ba — a monocular window
             # with fewer than two pinned poses drifts along the similarity
             # gauge).
             live_rank = jnp.cumsum(live.astype(jnp.int32)) - 1
             pose_free = live & (live_rank >= 2)
-            new_rot, new_trans, new_pts, _, _ = ba_solve(
-                intrinsics,
-                ring_rot,
-                ring_trans,
-                positions.astype(ring_rot.dtype),
-                obs,
-                config.ba,
-                fix_first_pose=False,
-                pose_mask=pose_free,
+            new_rot, new_trans, new_positions, _ = _ba_window_solve(
+                positions,
+                ring_rot, ring_trans, pose_free,
+                slots_c, l_mask_c,
+                jnp.repeat(jnp.arange(w, dtype=jnp.int32), o_cap),
+                pt_c.astype(jnp.int32),
+                ring_px.reshape(-1, 2).astype(ring_rot.dtype),
+                ok_c,
+                intrinsics, config.ba, False,
             )
-            return new_rot, new_trans, new_pts.astype(positions.dtype)
+            return new_rot, new_trans, new_positions
 
         ring_rot, ring_trans, positions = jax.lax.cond(
             ba_pred,
@@ -779,7 +794,11 @@ def run_point_cloud_fused(
     not which real observations are used, as long as the caps are not hit.
     Returns the same PointCloudResult (checkpointable).
     """
-    frames = np.asarray(frames)
+    # Accept device-resident frames as-is: pulling them to host here would
+    # round-trip the whole clip through the (slow, tunneled) host link; all
+    # downstream uses are shape reads and per-chunk slices.
+    if not isinstance(frames, jnp.ndarray):
+        frames = np.asarray(frames)
     t_total = frames.shape[0]
     n_pairs = t_total - 1
     keys = jax.random.split(jax.random.PRNGKey(seed), max(n_pairs, 1))
