@@ -82,6 +82,10 @@ def extract_patches(image, xy, radius: int = PATCH_RADIUS):
     never engages.
     """
     size = 2 * radius + 1
+    # Vmapped dynamic_slice, NOT advanced-indexing gather: for these large
+    # (31x31) windows the fused [K, P, P] gather lowered ~5x SLOWER on v5e
+    # (measured 98 vs 510 bench fps) — the opposite of the tiny 3x3 case in
+    # feature/detector._subpixel_offsets, where the fused gather wins.
     starts = jnp.round(xy).astype(jnp.int32) - radius  # (x0, y0)
 
     def one(start):

@@ -28,7 +28,11 @@ __all__ = ["refine_matches"]
 
 
 def _gather_patches(image, xy, radius: int):
-    """[K, 2r+1, 2r+1] windows around integer-rounded centers (clamped)."""
+    """[K, 2r+1, 2r+1] windows around integer-rounded centers (clamped).
+
+    Vmapped dynamic_slice: for multi-row windows this lowers faster on TPU
+    than a fused advanced-indexing gather (see ops/brief.extract_patches —
+    measured 5x); only tiny 3x3 windows favor the fused gather."""
     size = 2 * radius + 1
     starts = jnp.round(xy).astype(jnp.int32) - radius
 
