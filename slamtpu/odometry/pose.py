@@ -91,6 +91,7 @@ def estimate_relative_pose(
         h, h_inliers, h_count = ransac_homography(
             key_h, norm1, norm2, mask=mask,
             threshold_norm=threshold_norm, iters=config.homography_iters,
+            sigma=sigma,  # keep S_H/(S_H+S_E) a like-for-like comparison
         )
         r_h, t_h, _ = recover_pose_from_homography(h, norm1, norm2, mask=h_inliers)
         ratio = h_count.astype(norm1.dtype) / jnp.maximum(

@@ -3,7 +3,7 @@
 The reference's `find_essential_mat` call is OpenCV's 5-point RANSAC
 (/root/reference/src/odometry/pose.rs:64-73). This module provides the
 TPU-native minimal solver: given 5 normalized correspondences it returns up
-to 10 essential-matrix candidates, entirely with fixed shapes so thousands of
+to N_ROOT_SLOTS (18) essential-matrix candidates, entirely with fixed shapes so thousands of
 RANSAC hypotheses solve as one batch.
 
 Pipeline (Nistér, "An efficient solution to the five-point relative pose
@@ -373,7 +373,7 @@ def five_point_candidates(pts1, pts2):
         + _conv1d(k1, _conv1d(lx, my) - _conv1d(ly, mx))
     )  # [..., 11]
 
-    roots, valid = _real_roots_deg10(n)  # [..., 10]
+    roots, valid = _real_roots_deg10(n)  # [..., N_ROOT_SLOTS]
 
     # (x, y) for each root: null vector of B(z) = cross product of the two
     # most independent rows.
@@ -381,7 +381,7 @@ def five_point_candidates(pts1, pts2):
     rk = jnp.stack(
         [_polyval(kx[..., None, :], z), _polyval(ky[..., None, :], z), _polyval(k1[..., None, :], z)],
         axis=-1,
-    )  # [..., 10, 3]
+    )  # [..., N_ROOT_SLOTS, 3]
     rl = jnp.stack(
         [_polyval(lx[..., None, :], z), _polyval(ly[..., None, :], z), _polyval(l1[..., None, :], z)],
         axis=-1,
@@ -392,7 +392,7 @@ def five_point_candidates(pts1, pts2):
     )
     crosses = jnp.stack(
         [jnp.cross(rk, rl), jnp.cross(rk, rm), jnp.cross(rl, rm)], axis=-2
-    )  # [..., 10, 3, 3]
+    )  # [..., N_ROOT_SLOTS, 3, 3]
     norms = jnp.linalg.norm(crosses, axis=-1)
     pick = jnp.argmax(norms, axis=-1)
     v = jnp.take_along_axis(crosses, pick[..., None, None], axis=-2)[..., 0, :]
@@ -403,7 +403,7 @@ def five_point_candidates(pts1, pts2):
     valid = valid & jnp.isfinite(x) & jnp.isfinite(y) & (jnp.abs(w) > 1e-18)
 
     # E = x E1 + y E2 + z E3 + E4.
-    coeff = jnp.stack([x, y, z, jnp.ones_like(z)], axis=-1)  # [..., 10, 4]
+    coeff = jnp.stack([x, y, z, jnp.ones_like(z)], axis=-1)  # [..., N_ROOT_SLOTS, 4]
     es = jnp.einsum("...rc,...cij->...rij", coeff, basis)
     fro = jnp.linalg.norm(es, axis=(-2, -1), keepdims=True)
     es = es / jnp.maximum(fro, 1e-18)

@@ -89,17 +89,23 @@ def homography_transfer_error(h, pts1, pts2):
     return fwd + bwd
 
 
-def ransac_homography(key, pts1, pts2, mask=None, threshold_norm=1.0 / 700.0, iters=256, refine_rounds=2):
+def ransac_homography(key, pts1, pts2, mask=None, threshold_norm=1.0 / 700.0, iters=256,
+                      refine_rounds=2, sigma=None):
     """Fixed-iteration vmapped homography RANSAC (4-point minimal samples).
 
     Same masked top-k-of-uniforms sampling as ransac_essential. The symmetric
     transfer threshold uses 2 * threshold^2 (two squared residuals summed).
+    sigma: optional [N] per-point noise scale — widens the inlier band per
+    point exactly like ransac_essential's, so the S_H/(S_H+S_E) model-
+    selection ratio compares like with like when per-octave sigma is active.
     Returns (H [3,3], inliers [N] bool, num_inliers).
     """
     n = pts1.shape[0]
     if mask is None:
         mask = jnp.ones((n,), bool)
     thresh = 2.0 * jnp.asarray(threshold_norm, pts1.dtype) ** 2
+    if sigma is not None:
+        thresh = thresh * jnp.asarray(sigma, pts1.dtype) ** 2  # [N]
 
     u = jax.random.uniform(key, (iters, n), dtype=jnp.float32)
     u = jnp.where(mask[None, :], u, -jnp.inf)

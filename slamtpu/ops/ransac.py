@@ -44,8 +44,13 @@ class RansacConfig:
     solver: str = "chol"  # smallest-eigvec method: "chol" (fast) or "eigh"
     # Minimal solver per hypothesis: "8pt" (linear, needs 8 samples) or
     # "5pt" (Nistér — the solver OpenCV's find_essential_mat actually runs,
-    # pose.rs:64-73; up to 14 candidate E's per 5-point sample). 5pt needs
-    # fewer inlier samples per hypothesis and has no planar degeneracy.
+    # pose.rs:64-73; up to N_ROOT_SLOTS=18 candidate E slots per 5-point
+    # sample: 10 sign-change brackets + 4 Newton seeds + 4 pair siblings).
+    # 5pt needs fewer inlier samples per hypothesis, has no planar
+    # degeneracy, and measured ~0.73x the cv2-oracle ATE on the fair-lateral
+    # scene — but its candidate fan-out costs roughly half the VO
+    # throughput (610 -> ~280 frames/s at iters=128), so 8pt stays the
+    # throughput default.
     min_solver: str = "8pt"
     # ORB-SLAM-style model selection: also fit a homography and take the
     # pose from its decomposition when its inlier share S_H/(S_H+S_E)

@@ -208,7 +208,7 @@ def run_point_cloud(
     t_total = frames.shape[0]
     n_pairs = t_total - 1
     keys = jax.random.split(jax.random.PRNGKey(seed), max(n_pairs, 1))
-    chunk = chunk_size or n_pairs
+    chunk = chunk_size or max(n_pairs, 1)  # single-frame clip: no pairs, avoid a zero range step
 
     frontend = jax.jit(vo_frontend, static_argnames=("config",))
     dtype = jnp.float64 if jax.config.jax_enable_x64 else jnp.float32
@@ -348,11 +348,15 @@ def run_point_cloud(
 
             n_kf = len(kf_rots)
             if config.ba_interval and n_kf % config.ba_interval == 0 and obs_kf:
-                map_state, kf_rots, kf_trans = _run_window_ba(
+                map_state, kf_rots, kf_trans, did_run = _run_window_ba(
                     map_state, intrinsics, kf_rots, kf_trans,
                     obs_kf, obs_pt, obs_px, obs_id, config,
                 )
-                ba_runs += 1
+                # Count only solves that actually ran: _run_window_ba
+                # no-ops when the window contributed no surviving
+                # observations, and the fused pipeline's ba_pred is False in
+                # that case — keep the two pipelines' ba_runs comparable.
+                ba_runs += int(did_run)
             if config.prune_interval and n_kf % config.prune_interval == 0:
                 map_state = map_prune(map_state, config.min_observations)
 
@@ -401,8 +405,14 @@ def _ba_window_solve(
         intrinsics, rot_w, trans_w, pts_w, obs, ba_config,
         fix_first_pose=fix_first_pose, pose_mask=pose_mask,
     )
-    new_positions = positions.at[slots].set(
-        jnp.where(l_mask[:, None], new_pts.astype(positions.dtype), positions[slots])
+    # Padded rows of `slots` are 0, so a plain scatter would write slot 0
+    # twice (optimized value + stale padding) — duplicate-index scatter-set
+    # order is undefined on TPU and nondeterministically discarded the BA
+    # update for that landmark. Route dead rows to an out-of-range index and
+    # drop them instead.
+    safe_slots = jnp.where(l_mask, slots, positions.shape[0])
+    new_positions = positions.at[safe_slots].set(
+        new_pts.astype(positions.dtype), mode="drop"
     )
     return new_rot, new_trans, new_positions, err
 
@@ -447,7 +457,7 @@ def _run_window_ba(
         pt_l.append(compact)
         px_l.append(obs_px[i])
     if not kf_l:
-        return map_state, kf_rots, kf_trans
+        return map_state, kf_rots, kf_trans, False
 
     m = len(kf_l)
     kf_arr = np.zeros(m_max, np.int32)
@@ -494,7 +504,7 @@ def _run_window_ba(
     for j in range(n_window):
         kf_rots[start_idx + j] = new_rot[j]
         kf_trans[start_idx + j] = new_trans[j]
-    return map_state, kf_rots, kf_trans
+    return map_state, kf_rots, kf_trans, True
 
 
 # ---------------------------------------------------------------------------
@@ -802,7 +812,7 @@ def run_point_cloud_fused(
     t_total = frames.shape[0]
     n_pairs = t_total - 1
     keys = jax.random.split(jax.random.PRNGKey(seed), max(n_pairs, 1))
-    chunk = chunk_size or n_pairs
+    chunk = chunk_size or max(n_pairs, 1)  # single-frame clip: no pairs, avoid a zero range step
 
     frontend = jax.jit(vo_frontend, static_argnames=("config",))
     dtype = jnp.float64 if jax.config.jax_enable_x64 else jnp.float32
@@ -832,23 +842,6 @@ def run_point_cloud_fused(
         step_outs.append(outs)
         res_list.append(res)
 
-    # One host sync at the end: everything above queued asynchronously.
-    outs = jax.tree_util.tree_map(
-        lambda *xs: np.concatenate([np.asarray(x) for x in xs], axis=0), *step_outs
-    )
-    res_np = [jax.tree_util.tree_map(np.asarray, r) for r in res_list]
-
-    # Reference-style trajectory artifact + success counters (host, cheap).
-    for ri, r in enumerate(res_np):
-        successful += int(r.success.sum())
-        base = ri * chunk
-        for local_idx in np.nonzero(r.is_keyframe)[0]:
-            frame_idx = base + int(local_idx) + 1
-            trajectory.update(
-                r.rotations[local_idx], r.translations[local_idx],
-                frame_idx + 1, frame_idx / config.vo.fps,
-            )
-
     # Reconstruct the final keyframe pose chain: append new keyframes in
     # order; every BA event rewrites its window via the ring snapshot.
     kf_rots: List[np.ndarray] = [np.eye(3)]
@@ -859,24 +852,42 @@ def run_point_cloud_fused(
     obs_px: List[np.ndarray] = []
     obs_id: List[int] = []
     ba_runs = 0
-    for i in range(outs.kf_idx.shape[0]):
-        if outs.kf_idx[i] < 0:
-            continue
-        kf_rots.append(outs.new_rot[i])
-        kf_trans.append(outs.new_trans[i])
-        kf_frames.append(i + 1)
-        for o in np.nonzero(outs.obs_mask[i])[0]:
-            obs_kf.append(int(outs.kf_idx[i]))
-            obs_pt.append(int(outs.obs_slots[i, o]))
-            obs_px.append(outs.obs_px[i, o])
-            obs_id.append(int(outs.obs_ids[i, o]))
-        if outs.ba_flag[i]:
-            ba_runs += 1
-            for j in range(outs.ring_kf.shape[1]):
-                g = int(outs.ring_kf[i, j])
-                if g >= 0:
-                    kf_rots[g] = outs.ring_rot[i, j]
-                    kf_trans[g] = outs.ring_trans[i, j]
+    if step_outs:  # empty for single-frame clips (keyframe 0 only)
+        # One host sync at the end: everything above queued asynchronously.
+        outs = jax.tree_util.tree_map(
+            lambda *xs: np.concatenate([np.asarray(x) for x in xs], axis=0), *step_outs
+        )
+        res_np = [jax.tree_util.tree_map(np.asarray, r) for r in res_list]
+
+        # Reference-style trajectory artifact + success counters (host, cheap).
+        for ri, r in enumerate(res_np):
+            successful += int(r.success.sum())
+            base = ri * chunk
+            for local_idx in np.nonzero(r.is_keyframe)[0]:
+                frame_idx = base + int(local_idx) + 1
+                trajectory.update(
+                    r.rotations[local_idx], r.translations[local_idx],
+                    frame_idx + 1, frame_idx / config.vo.fps,
+                )
+
+        for i in range(outs.kf_idx.shape[0]):
+            if outs.kf_idx[i] < 0:
+                continue
+            kf_rots.append(outs.new_rot[i])
+            kf_trans.append(outs.new_trans[i])
+            kf_frames.append(i + 1)
+            for o in np.nonzero(outs.obs_mask[i])[0]:
+                obs_kf.append(int(outs.kf_idx[i]))
+                obs_pt.append(int(outs.obs_slots[i, o]))
+                obs_px.append(outs.obs_px[i, o])
+                obs_id.append(int(outs.obs_ids[i, o]))
+            if outs.ba_flag[i]:
+                ba_runs += 1
+                for j in range(outs.ring_kf.shape[1]):
+                    g = int(outs.ring_kf[i, j])
+                    if g >= 0:
+                        kf_rots[g] = outs.ring_rot[i, j]
+                        kf_trans[g] = outs.ring_trans[i, j]
 
     return PointCloudResult(
         map_state=jax.tree_util.tree_map(np.asarray, carry2.map_state),

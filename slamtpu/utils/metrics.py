@@ -110,6 +110,15 @@ class RerunLogger:
         rr.init(app_id, spawn=False)
         if save_path:
             rr.save(save_path)
+        else:
+            # No sink = every log call lands in an unconnected in-memory
+            # recording that is dropped at exit; spawn the viewer like the
+            # reference's --rerun does (falls back to a no-op sink on
+            # headless machines, where only --rerun-save makes sense).
+            try:
+                rr.spawn()
+            except Exception:
+                pass
         self._rr = rr
         # Right-Up-Back view coordinates, static (point_cloud.rs:149).
         try:
@@ -146,9 +155,7 @@ class RerunLogger:
         if not self._rr or positions.shape[0] == 0:
             return
         if colors is None:
-            from ..io.export import depth_to_color_ply
-
-            colors = np.asarray([depth_to_color_ply(z) for z in positions[:, 2]], np.uint8)
+            colors = _depth_colors(positions[:, 2])
         self._rr.log(
             "world/points",
             self._rr.Points3D(positions, colors=colors, radii=[0.02]),
@@ -177,12 +184,15 @@ class RerunLogger:
         n = min(len(pts_prev), len(pts_cur), max_points)
         p1 = np.asarray(pts_prev, np.float32)[:n]
         p2 = np.asarray(pts_cur, np.float32)[:n]
+        # Distinct child entities: two logs of the same archetype to ONE
+        # path at one timepoint overwrite each other under Rerun's
+        # latest-at semantics (the green set silently vanished).
         self._rr.log(
-            "world/camera/image",
+            "world/camera/image/kp_prev",
             self._rr.Points2D(p1, colors=[[0, 255, 0]], radii=[3.0]),
         )
         self._rr.log(
-            "world/camera/image",
+            "world/camera/image/kp_cur",
             self._rr.Points2D(p2, colors=[[255, 0, 0]], radii=[3.0]),
         )
 
@@ -194,6 +204,20 @@ class RerunLogger:
         if self._rr:
             canvas = draw_match_image(prev_image, image, pts_prev, pts_cur)
             self._rr.log("world/keyframe_matches", self._rr.Image(canvas))
+
+
+def _depth_colors(depths) -> np.ndarray:
+    """Vectorized blue->green->red 0..50m ramp (same truncating casts as
+    io/export.depth_to_color_ply / point_cloud.rs:901-908) — the per-point
+    Python loop ran up to map_capacity interpreter iterations per keyframe."""
+    n = np.clip(np.asarray(depths, np.float64) / 50.0, 0.0, 1.0)
+    t_lo = n * 2.0
+    t_hi = (n - 0.5) * 2.0
+    lo = n < 0.5
+    r = np.where(lo, 0.0, 255.0 * t_hi)
+    g = np.where(lo, 255.0 * t_lo, 255.0 * (1.0 - t_hi))
+    b = np.where(lo, 255.0 * (1.0 - t_lo), 0.0)
+    return np.stack([r, g, b], axis=-1).astype(np.uint8)
 
 
 def _to_rgb(image) -> np.ndarray:

@@ -218,3 +218,22 @@ def test_fused_pipeline_no_ba_exact_match():
         np.asarray(host.map_state.ids), np.asarray(fused.map_state.ids)
     )
     assert len(host.observations[0]) == len(fused.observations[0])
+
+
+def test_single_frame_input():
+    """A 1-frame clip has zero pairs: both pipelines must return a
+    keyframe-0-only result instead of raising (regression: `chunk_size or
+    n_pairs` produced a zero range step, and the fused concatenate saw an
+    empty chunk list)."""
+    from slamtpu.pipeline.point_cloud import run_point_cloud_fused
+
+    scene = render_sequence(n_frames=1, height=120, width=160, n_points=200, seed=0)
+    cfg = PointCloudConfig(
+        vo=VoConfig(orb=OrbConfig(max_features=64, n_levels=4)), map_capacity=256
+    )
+    for runner in (run_point_cloud, run_point_cloud_fused):
+        res = runner(scene.frames, scene.intrinsics, cfg)
+        assert res.total_frames == 1
+        assert res.successful_frames == 0
+        assert list(res.keyframe_frame_idx) == [0]
+        assert res.ba_runs == 0

@@ -48,6 +48,8 @@ def fake_rerun(monkeypatch):
 
     rr.init = lambda app_id, spawn=False: rr.inits.append(app_id)
     rr.save = lambda path: rr.saves.append(path)
+    rr.spawns = []
+    rr.spawn = lambda: rr.spawns.append(True)
     rr.set_time_sequence = lambda name, n: rr.times.append((name, int(n)))
 
     def log(entity, payload, static=False):
@@ -95,9 +97,11 @@ def test_logger_unit_surface(fake_rerun):
     np.testing.assert_allclose(tf.kwargs["mat3x3"], np.eye(3))
 
     logger.log_matches_2d(np.zeros((150, 2)), np.ones((150, 2)))
-    pts2d = _events(fake_rerun, "world/camera/image", "Points2D")
-    assert len(pts2d) == 2
-    (_, green), (_, red) = pts2d
+    # Distinct child entities per point set: same-path logs of one archetype
+    # at one timepoint overwrite each other under Rerun's latest-at
+    # semantics, so prev/cur keypoints live at kp_prev / kp_cur.
+    ((_, green),) = _events(fake_rerun, "world/camera/image/kp_prev", "Points2D")
+    ((_, red),) = _events(fake_rerun, "world/camera/image/kp_cur", "Points2D")
     assert green.args[0].shape == (100, 2)  # capped at 100 (rs:608)
     assert green.kwargs["colors"] == [[0, 255, 0]]
     assert red.kwargs["colors"] == [[255, 0, 0]]
@@ -144,6 +148,9 @@ def test_logger_wired_through_point_cloud(fake_rerun):
         map_capacity=2048,
     )
     logger = RerunLogger()
+    # Without a save path the logger must open a live sink (rr.spawn), or
+    # every event dies in an unconnected in-memory recording.
+    assert fake_rerun.spawns == [True]
     res = run_point_cloud(scene.frames, scene.intrinsics, cfg, rerun_logger=logger)
 
     n_kf = res.keyframe_frame_idx.shape[0] - 1  # minus keyframe 0
@@ -156,7 +163,8 @@ def test_logger_wired_through_point_cloud(fake_rerun):
     cams = _events(fake_rerun, "world/camera", "Transform3D")
     assert len(cams) == n_kf
     assert len(_events(fake_rerun, "world/keyframe_matches", "Image")) == n_kf
-    assert len(_events(fake_rerun, "world/camera/image", "Points2D")) == 2 * n_kf
+    assert len(_events(fake_rerun, "world/camera/image/kp_prev", "Points2D")) == n_kf
+    assert len(_events(fake_rerun, "world/camera/image/kp_cur", "Points2D")) == n_kf
     assert len(_events(fake_rerun, "world/points", "Points3D")) == n_kf
     # Trajectory strips appear once >=2 points exist.
     assert len(_events(fake_rerun, "world/trajectory", "LineStrips3D")) >= n_kf - 1
