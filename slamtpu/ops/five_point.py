@@ -10,8 +10,9 @@ Pipeline (Nistér, "An efficient solution to the five-point relative pose
 problem", PAMI 2004 — re-derived here from the published math, not from any
 implementation):
 
-  1. 4-dimensional null space of the 5x9 epipolar design matrix via a
-     symmetric 9x9 eigendecomposition: E(x,y,z) = x E1 + y E2 + z E3 + E4.
+  1. 4-dimensional null space of the 5x9 epipolar design matrix via one
+     batched complete QR of A^T (exact: rank(A) <= 5, kernel = last 4
+     columns of Q): E(x,y,z) = x E1 + y E2 + z E3 + E4.
   2. The ten cubic constraints — det(E) = 0 and (E E^T - 1/2 tr(E E^T) I) E
      = 0 — expanded over the 20 monomials of degree <= 3 in (x, y, z) by
      trace-time polynomial arithmetic (every coefficient is a batched array).
@@ -298,19 +299,33 @@ def _real_roots_deg10(
 # --------------------------------------------------------------------------
 
 
-def _nullspace4(pts1, pts2):
+def _nullspace4(pts1, pts2, method: str = "qr"):
     """Orthonormal 4-basis of the epipolar design-matrix null space.
 
     pts: [..., 5, 2] normalized. Returns [..., 4, 3, 3] (row-major E's,
     matching `eight_point`'s flattening: A[..., n, 3j+k] = x2[j] * x1[k]).
+
+    method="qr" (default): the 5x9 design matrix has rank <= 5, so its
+    kernel is the orthogonal complement of the column space of A^T — the
+    last 4 columns of A^T's COMPLETE QR factor. One batched 9x5 Householder
+    QR replaces the 9x9 `eigh` (a QR-iteration eigensolver on TPU that
+    dominated the 5-point RANSAC profile), is exact (no iteration, no shift
+    tuning), and the Nistér parameterization E = x E1 + y E2 + z E3 + E4
+    accepts ANY orthonormal kernel basis.
+    method="eigh": reference path (tests pin qr against it).
     """
     x1 = _homogeneous(pts1)
     x2 = _homogeneous(pts2)
     a = x2[..., :, :, None] * x1[..., :, None, :]
     a = a.reshape(*a.shape[:-2], 9)  # [..., 5, 9]
-    ata = jnp.einsum("...ni,...nj->...ij", a, a)
-    _, vecs = jnp.linalg.eigh(ata)  # ascending eigenvalues
-    basis = jnp.swapaxes(vecs[..., :, :4], -1, -2)  # [..., 4, 9]
+    if method == "eigh":
+        ata = jnp.einsum("...ni,...nj->...ij", a, a)
+        _, vecs = jnp.linalg.eigh(ata)  # ascending eigenvalues
+        basis = jnp.swapaxes(vecs[..., :, :4], -1, -2)  # [..., 4, 9]
+        return basis.reshape(*basis.shape[:-1], 3, 3)
+
+    q, _ = jnp.linalg.qr(jnp.swapaxes(a, -1, -2), mode="complete")  # [..., 9, 9]
+    basis = jnp.swapaxes(q[..., :, 5:], -1, -2)  # [..., 4, 9]
     return basis.reshape(*basis.shape[:-1], 3, 3)
 
 
