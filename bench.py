@@ -312,11 +312,12 @@ def _flagship_metric(jax, frames, cam, chunk, force, log):
     # faster); one upload outside the timed region.
     dev_frames = jax.device_put(frames)
     np.asarray(dev_frames[0, 0])  # wait until resident
-    # Warmup on the first 2 chunks (compiles both phase programs), then the
-    # full sequence once for the steady-state rate. Distinct inputs per run
-    # (this runtime memoizes identical executions).
+    # Warmup with the IDENTICAL array shape (different seed): per-chunk
+    # device slices of the frame stack compile per source-array length, so a
+    # shorter warmup would leave that compile inside the timed region.
+    # Distinct inputs per run (this runtime memoizes identical executions).
     t0 = time.time()
-    run_point_cloud_fused(dev_frames[: 2 * chunk + 1], cam, cfg, chunk_size=chunk, seed=1)
+    run_point_cloud_fused(dev_frames, cam, cfg, chunk_size=chunk, seed=1)
     log(f"flagship compile+warmup: {time.time() - t0:.1f}s")
     t0 = time.time()
     res = run_point_cloud_fused(dev_frames, cam, cfg, chunk_size=chunk, seed=0)
