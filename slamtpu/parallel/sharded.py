@@ -120,8 +120,7 @@ def _local_vo(frames, keys, intrinsics, config, halo_feats, is_first_shard,
     valid_pair = ~(is_first_shard & (t_idx == 0))
     success = poses.valid & enough & valid_pair
 
-    last_feats = jax.tree_util.tree_map(lambda x: x[-1], feats)
-    return poses, success, num_good, last_feats
+    return poses, success, num_good, feats
 
 
 def _keyframe_scan_exact(config, rotations, translations, num_good, success, seq_rank):
@@ -152,21 +151,33 @@ def _keyframe_scan_exact(config, rotations, translations, num_good, success, seq
     return jax.lax.dynamic_slice_in_dim(is_kf_full, seq_rank * t_local, t_local)
 
 
-def sharded_vo_step(mesh, frames, keys, intrinsics: CameraIntrinsics, config: VoConfig = VoConfig()):
+def sharded_vo_step(
+    mesh,
+    frames,
+    keys,
+    intrinsics: CameraIntrinsics,
+    config: VoConfig = VoConfig(),
+    return_features: bool = False,
+):
     """Jit-compiled multi-chip VO over [B, T, H, W] frames.
 
     B shards over `data`, T over `seq`. keys: [B, T, 2] per-frame PRNG keys.
-    Returns a fully-replicated-on-host ShardedVoResult.
+    Returns a fully-replicated-on-host ShardedVoResult; with
+    `return_features=True` returns (result, features) where features is the
+    per-frame OrbFeatures pytree ([B, T, K, ...], sharded like the frames) —
+    the input the flagship mapping phase needs (parallel/flagship.py).
     """
     n_seq = mesh.shape[SEQ_AXIS]
+
+    out_tree = ShardedVoResult(*range(6))
+    if return_features:
+        out_tree = (out_tree, 6)
 
     @functools.partial(
         jax.shard_map,
         mesh=mesh,
         in_specs=(P(DATA_AXIS, SEQ_AXIS), P(DATA_AXIS, SEQ_AXIS)),
-        out_specs=jax.tree_util.tree_map(
-            lambda _: P(DATA_AXIS, SEQ_AXIS), ShardedVoResult(*range(6))
-        ),
+        out_specs=jax.tree_util.tree_map(lambda _: P(DATA_AXIS, SEQ_AXIS), out_tree),
         check_vma=False,
     )
     def step(frames_shard, keys_shard):
@@ -193,7 +204,7 @@ def sharded_vo_step(mesh, frames, keys, intrinsics: CameraIntrinsics, config: Vo
                     SEQ_AXIS,
                     [(i, (i + 1) % n_seq) for i in range(n_seq)],
                 )
-            poses, success, num_good, _ = _local_vo(
+            poses, success, num_good, feats_all = _local_vo(
                 seq_frames, seq_keys, intrinsics, config, halo, is_first, halo_frame
             )
             is_kf = _keyframe_scan_exact(
@@ -217,7 +228,7 @@ def sharded_vo_step(mesh, frames, keys, intrinsics: CameraIntrinsics, config: Vo
             )
             global_prefix = jnp.einsum("ij,tjk->tik", offset, local_prefix)
             positions = global_prefix[:, :3, 3]
-            return ShardedVoResult(
+            result = ShardedVoResult(
                 rotations=poses.rotation,
                 translations=poses.translation,
                 success=success,
@@ -225,6 +236,7 @@ def sharded_vo_step(mesh, frames, keys, intrinsics: CameraIntrinsics, config: Vo
                 positions=positions,
                 num_matches=num_good,
             )
+            return (result, feats_all) if return_features else result
 
         return jax.vmap(per_sequence)(frames_shard, keys_shard)
 

@@ -842,52 +842,24 @@ def run_point_cloud_fused(
         step_outs.append(outs)
         res_list.append(res)
 
-    # Reconstruct the final keyframe pose chain: append new keyframes in
-    # order; every BA event rewrites its window via the ring snapshot.
-    kf_rots: List[np.ndarray] = [np.eye(3)]
-    kf_trans: List[np.ndarray] = [np.zeros(3)]
-    kf_frames: List[int] = [0]
-    obs_kf: List[int] = []
-    obs_pt: List[int] = []
-    obs_px: List[np.ndarray] = []
-    obs_id: List[int] = []
-    ba_runs = 0
     if step_outs:  # empty for single-frame clips (keyframe 0 only)
         # One host sync at the end: everything above queued asynchronously.
         outs = jax.tree_util.tree_map(
             lambda *xs: np.concatenate([np.asarray(x) for x in xs], axis=0), *step_outs
         )
         res_np = [jax.tree_util.tree_map(np.asarray, r) for r in res_list]
+        rot_all = np.concatenate([r.rotations for r in res_np])
+        trans_all = np.concatenate([r.translations for r in res_np])
+        iskf_all = np.concatenate([r.is_keyframe for r in res_np])
+        successful = int(sum(r.success.sum() for r in res_np))
+    else:
+        outs = None
+        rot_all = trans_all = iskf_all = None
 
-        # Reference-style trajectory artifact + success counters (host, cheap).
-        for ri, r in enumerate(res_np):
-            successful += int(r.success.sum())
-            base = ri * chunk
-            for local_idx in np.nonzero(r.is_keyframe)[0]:
-                frame_idx = base + int(local_idx) + 1
-                trajectory.update(
-                    r.rotations[local_idx], r.translations[local_idx],
-                    frame_idx + 1, frame_idx / config.vo.fps,
-                )
-
-        for i in range(outs.kf_idx.shape[0]):
-            if outs.kf_idx[i] < 0:
-                continue
-            kf_rots.append(outs.new_rot[i])
-            kf_trans.append(outs.new_trans[i])
-            kf_frames.append(i + 1)
-            for o in np.nonzero(outs.obs_mask[i])[0]:
-                obs_kf.append(int(outs.kf_idx[i]))
-                obs_pt.append(int(outs.obs_slots[i, o]))
-                obs_px.append(outs.obs_px[i, o])
-                obs_id.append(int(outs.obs_ids[i, o]))
-            if outs.ba_flag[i]:
-                ba_runs += 1
-                for j in range(outs.ring_kf.shape[1]):
-                    g = int(outs.ring_kf[i, j])
-                    if g >= 0:
-                        kf_rots[g] = outs.ring_rot[i, j]
-                        kf_trans[g] = outs.ring_trans[i, j]
+    recon = _phase2_host_reconstruct(
+        outs, rot_all, trans_all, iskf_all, trajectory, config
+    )
+    kf_rots, kf_trans, kf_frames, obs_tuple, ba_runs = recon
 
     return PointCloudResult(
         map_state=jax.tree_util.tree_map(np.asarray, carry2.map_state),
@@ -898,5 +870,58 @@ def run_point_cloud_fused(
         ba_runs=ba_runs,
         total_frames=t_total,
         successful_frames=successful,
-        observations=(obs_kf, obs_pt, obs_px, obs_id),
+        observations=obs_tuple,
     )
+
+
+def _phase2_host_reconstruct(outs, rot_all, trans_all, iskf_all, trajectory, config):
+    """Host-side reconstruction of the keyframe chain + observation log from
+    fused-phase-2 step outputs (concatenated over all chunks, numpy).
+
+    Returns (kf_rots, kf_trans, kf_frames, (obs_kf, obs_pt, obs_px, obs_id),
+    ba_runs); fills `trajectory` with the reference-style artifact. Vectorized
+    — the naive per-keyframe/per-slot Python loop is ~260k iterations at
+    bench scale. Order-equivalence with the interleaved per-step loop:
+    appends always precede any BA rewrite of the same index (a keyframe
+    exists before BA can touch it), and applying the ring rewrites
+    chronologically afterwards preserves last-write-wins.
+    """
+    kf_rots: List[np.ndarray] = [np.eye(3)]
+    kf_trans: List[np.ndarray] = [np.zeros(3)]
+    kf_frames: List[int] = [0]
+    obs_kf: List[int] = []
+    obs_pt: List[int] = []
+    obs_px: List[np.ndarray] = []
+    obs_id: List[int] = []
+    ba_runs = 0
+    if outs is None:
+        return kf_rots, kf_trans, kf_frames, (obs_kf, obs_pt, obs_px, obs_id), 0
+
+    # Reference-style trajectory artifact (frame numbering 1-based, keyframe
+    # updates only; visual_odometry.rs:120-136).
+    for pair_idx in np.nonzero(iskf_all)[0]:
+        frame_idx = int(pair_idx) + 1
+        trajectory.update(
+            rot_all[pair_idx], trans_all[pair_idx],
+            frame_idx + 1, frame_idx / config.vo.fps,
+        )
+
+    kf_steps = np.nonzero(outs.kf_idx >= 0)[0]
+    kf_rots.extend(outs.new_rot[kf_steps])
+    kf_trans.extend(outs.new_trans[kf_steps])
+    kf_frames.extend((kf_steps + 1).tolist())
+    rows, cols = np.nonzero(outs.obs_mask[kf_steps])
+    obs_kf.extend(outs.kf_idx[kf_steps][rows].tolist())
+    obs_pt.extend(outs.obs_slots[kf_steps][rows, cols].tolist())
+    obs_px.extend(outs.obs_px[kf_steps][rows, cols])
+    obs_id.extend(outs.obs_ids[kf_steps][rows, cols].tolist())
+    ba_steps = np.nonzero(outs.ba_flag)[0]
+    ba_runs += int(ba_steps.shape[0])
+    for i in ba_steps:
+        live = outs.ring_kf[i] >= 0
+        for g, r, t in zip(
+            outs.ring_kf[i][live], outs.ring_rot[i][live], outs.ring_trans[i][live]
+        ):
+            kf_rots[g] = r
+            kf_trans[g] = t
+    return kf_rots, kf_trans, kf_frames, (obs_kf, obs_pt, obs_px, obs_id), ba_runs

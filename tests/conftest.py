@@ -7,6 +7,22 @@ numerics (bundle adjustment, pose composition) are testable.
 """
 
 import os
+import resource
+
+# The XLA:CPU compiler segfaults flakily in long many-compile processes
+# (observed ~once per multi-hundred-compile run, round 1 and round 2). Two
+# mitigations: raise the 8 MB default stack (LLVM JIT compile threads inherit
+# it, and deep recursion on big modules can blow it), and the persistent
+# compilation cache below (a warm run compiles almost nothing, removing the
+# trigger entirely).
+try:
+    _soft, _hard = resource.getrlimit(resource.RLIMIT_STACK)
+    _want = 512 * 1024 * 1024
+    if _soft != resource.RLIM_INFINITY and _soft < _want:
+        _new = _want if _hard == resource.RLIM_INFINITY else min(_want, _hard)
+        resource.setrlimit(resource.RLIMIT_STACK, (_new, _hard))
+except (ValueError, OSError):  # pragma: no cover
+    pass
 
 # Must happen before the first backend initialization. The sandbox's
 # sitecustomize force-registers the axon TPU plugin and sets
@@ -14,7 +30,15 @@ import os
 os.environ["JAX_PLATFORMS"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
-    os.environ["XLA_FLAGS"] = (flags + " --xla_force_host_platform_device_count=8").strip()
+    flags = (flags + " --xla_force_host_platform_device_count=8").strip()
+if "xla_cpu_parallel_codegen_split_count" not in flags:
+    # The XLA:CPU backend segfaulted flakily during compilation (observed in
+    # jax/_src/compiler.py backend_compile_and_load, ~once per few hundred
+    # fresh compiles). Default codegen splits each module 32 ways across an
+    # LLVM thread pool; on this 1-core host that concurrency is all risk and
+    # no win — serialize it.
+    flags = (flags + " --xla_cpu_parallel_codegen_split_count=1").strip()
+os.environ["XLA_FLAGS"] = flags
 os.environ.setdefault("JAX_ENABLE_X64", "1")
 
 import jax  # noqa: E402

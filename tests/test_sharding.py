@@ -107,3 +107,50 @@ def test_sharded_keyframe_schedule_exact_nondefault_config():
     np.testing.assert_array_equal(np.asarray(sharded.success)[0, 1:], serial.success)
     np.testing.assert_array_equal(np.asarray(sharded.is_keyframe)[0, 1:], serial.is_keyframe)
     assert np.asarray(sharded.is_keyframe)[0, 1:].sum() >= 3  # schedule non-trivial
+
+
+def test_sharded_flagship_matches_serial():
+    """Seq-sharded frontend + fused mapping phase == serial fused flagship.
+
+    The two frontends run the same arithmetic but XLA fuses them differently
+    (see test_sharded_matches_serial_pipeline), so poses drift at f32 noise
+    level; the keyframe/BA SCHEDULE and the map size must agree, and poses
+    geodesically."""
+    from scipy.spatial.transform import Rotation
+
+    from slamtpu.mapping.keyframe import KeyframeConfig
+    from slamtpu.parallel.flagship import run_point_cloud_sharded
+    from slamtpu.pipeline.point_cloud import PointCloudConfig, run_point_cloud_fused
+
+    scene = render_sequence(n_frames=16, height=160, width=224, n_points=500, step=0.5, seed=7)
+    cam = scene.intrinsics
+    cfg = PointCloudConfig(
+        vo=VoConfig(
+            orb=OrbConfig(max_features=200),
+            ransac=RansacConfig(iters=150),
+            keyframe=KeyframeConfig(0.03, 0.03, 0.7, 3),
+        ),
+        map_capacity=2048,
+        max_obs_per_kf=256,
+        max_ba_landmarks=512,
+        max_ba_observations=1024,
+    )
+    frames = scene.frames.astype(np.float32)
+
+    mesh = make_mesh(8, data=1)
+    sh = run_point_cloud_sharded(frames, cam, mesh, cfg, seed=0)
+    se = run_point_cloud_fused(frames, cam, cfg, seed=0)
+
+    assert sh.keyframe_frame_idx.tolist() == se.keyframe_frame_idx.tolist()
+    assert sh.ba_runs == se.ba_runs
+    assert len(sh.keyframe_frame_idx) >= 8  # non-trivial schedule
+
+    rel = np.einsum("tij,tkj->tik", sh.keyframe_rotations, se.keyframe_rotations)
+    angles = np.degrees(np.linalg.norm(Rotation.from_matrix(rel).as_rotvec(), axis=-1))
+    assert angles.max() < 1.5, f"max keyframe rotation gap {angles.max():.2f} deg"
+    np.testing.assert_allclose(sh.keyframe_translations, se.keyframe_translations, atol=0.4)
+
+    n_sh = int(np.asarray(sh.map_state.valid).sum())
+    n_se = int(np.asarray(se.map_state.valid).sum())
+    assert n_se > 50
+    assert abs(n_sh - n_se) <= max(15, 0.15 * n_se), (n_sh, n_se)
