@@ -143,6 +143,10 @@ def pose_point_jacobians(intrinsics, rotation, translation, point):
     return j_pose, j_point
 
 
+from ..ops.epipolar import _f32_precision
+
+
+@_f32_precision
 def ba_solve(
     intrinsics: CameraIntrinsics,
     rotations,
@@ -159,7 +163,11 @@ def ba_solve(
     pose_mask [P] bool: poses whose parameters may move (local BA freezes
     out-of-window poses); None = all free (except the gauge fix).
     All inputs are promoted to a common float dtype; f64 recommended on CPU,
-    f32 works on TPU for the problem scales the reference targets.
+    f32 works on TPU for the problem scales the reference targets. All
+    contractions run at true f32 precision (`_f32_precision`): Schur
+    reduction loses the normal equations' conditioning under TPU bf16-pass
+    defaults, and implicit defaults have drifted across libtpu upgrades
+    (ops/epipolar.py:27-45).
     """
     rotations = jnp.asarray(rotations)
     dtype = rotations.dtype

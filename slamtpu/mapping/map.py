@@ -70,9 +70,18 @@ def map_insert(state: MapState, positions, descriptors, mask) -> MapState:
     n = positions.shape[0]
     cap = state.capacity
 
-    # Stable-sort free slots to the front: argsort(valid) lists empty slots
-    # first in index order.
-    free_slots = jnp.argsort(state.valid.astype(jnp.int32), stable=True)  # [C]
+    # Free slots in index order, WITHOUT a full sort (an argsort over the
+    # capacity dominates per-keyframe cost inside the fused scan at 16k+
+    # slots): rank every free slot by a cumsum and scatter its index into a
+    # rank->slot table. Rows beyond the insert count never read past n-1
+    # ranks, but building the full [C] table costs the same one scatter.
+    free = ~state.valid
+    free_rank = jnp.cumsum(free.astype(jnp.int32)) - 1  # [C] rank of each free slot
+    free_slots = (
+        jnp.full((cap,), cap, jnp.int32)
+        .at[jnp.where(free, free_rank, cap)]
+        .set(jnp.arange(cap, dtype=jnp.int32), mode="drop")
+    )
     n_free = cap - state.size()
 
     rank = (jnp.cumsum(mask.astype(jnp.int32)) - 1).astype(jnp.int32)  # insertion rank
@@ -112,7 +121,15 @@ def map_find_matches(
     Returns (train_idx [C] int32 — matched keypoint per map slot,
     good [C] bool — slot matched).
     """
-    p_cam = jnp.einsum("ij,nj->ni", jnp.asarray(rotation, state.positions.dtype), state.positions)
+    # HIGHEST: landmark projection feeds the reproj-error observation gate;
+    # TPU bf16-pass defaults cost ~0.4% relative -> several px at image scale
+    # (and implicit defaults drift across libtpu builds, ops/epipolar.py:27-45).
+    p_cam = jnp.einsum(
+        "ij,nj->ni",
+        jnp.asarray(rotation, state.positions.dtype),
+        state.positions,
+        precision=jax.lax.Precision.HIGHEST,
+    )
     p_cam = p_cam + jnp.asarray(translation, state.positions.dtype)[None, :]
     z = p_cam[:, 2]
     z_safe = jnp.where(z > 0, z, 1.0)

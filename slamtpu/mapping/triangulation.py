@@ -57,6 +57,10 @@ def _projection_matrix(intrinsics: CameraIntrinsics, rotation, translation, dtyp
     return intrinsics.to_matrix(dtype) @ rt  # [3, 4]
 
 
+from ..ops.epipolar import _f32_precision
+
+
+@_f32_precision
 def triangulate_points(
     intrinsics: CameraIntrinsics,
     pose1,
@@ -70,6 +74,11 @@ def triangulate_points(
     enforce_reproj: bool = False,
 ):
     """Batched DLT triangulation with the reference's acceptance masks.
+
+    All contractions run at true f32 precision (`_f32_precision`): the DLT
+    normal matrix and cheirality chains lose rank under TPU bf16-pass
+    defaults, and implicit precision defaults have shifted under libtpu
+    upgrades before (see ops/epipolar.py:27-45).
 
     pose1/pose2: (R [3,3], t [3]) world-to-camera. points1/points2: [N, 2]
     pixels. Returns (positions [N, 3], valid [N] bool).

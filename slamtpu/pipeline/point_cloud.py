@@ -178,7 +178,14 @@ def _reproj_distance(state: MapState, intrinsics, rot, trans, idx, xy):
     """Pixel distance between each map slot's projection and its matched
     keypoint (inf where the landmark is behind the camera)."""
     dtype = state.positions.dtype
-    p_cam = jnp.einsum("ij,nj->ni", jnp.asarray(rot, dtype), state.positions)
+    # HIGHEST: this distance gates BA observations at obs_max_reproj_px (a
+    # few px); bf16-pass projection error is the same order (map.py:124).
+    p_cam = jnp.einsum(
+        "ij,nj->ni",
+        jnp.asarray(rot, dtype),
+        state.positions,
+        precision=jax.lax.Precision.HIGHEST,
+    )
     p_cam = p_cam + jnp.asarray(trans, dtype)[None, :]
     z = p_cam[:, 2]
     z_safe = jnp.where(z > 1e-6, z, 1.0)
@@ -630,11 +637,18 @@ def _fused_phase2_chunk(
             dist = _reproj_distance(state, intrinsics, r32, t32, midx, xy)
             mgood = mgood & (dist < config.obs_max_reproj_px)
 
-        # Compact the per-slot match mask to O observation rows.
+        # Compact the per-slot match mask to O observation rows: the first
+        # o_cap matched slots in index order, via cumsum + scatter (a top_k
+        # over the full capacity is a per-step sort inside the scan; this is
+        # one linear pass). Padding rows point at slot 0 with omask False.
         cap = state.capacity
-        score = mgood.astype(jnp.float32) * 2.0 - jnp.arange(cap, dtype=jnp.float32) / cap
-        _, slots = jax.lax.top_k(score, o_cap)
-        omask = mgood[slots]
+        obs_rank = jnp.cumsum(mgood.astype(jnp.int32)) - 1
+        slots = (
+            jnp.zeros((o_cap,), jnp.int32)
+            .at[jnp.where(mgood & (obs_rank < o_cap), obs_rank, o_cap)]
+            .set(jnp.arange(cap, dtype=jnp.int32), mode="drop")
+        )
+        omask = mgood[slots] & (jnp.arange(o_cap) <= obs_rank[-1])
         opx = jnp.take_along_axis(
             xy.astype(jnp.float32), midx[slots][:, None], axis=0
         )
@@ -844,14 +858,21 @@ def run_point_cloud_fused(
 
     if step_outs:  # empty for single-frame clips (keyframe 0 only)
         # One host sync at the end: everything above queued asynchronously.
+        # Concatenate on device first — each device->host fetch is a
+        # synchronous round trip, so fetching chunks x leaves separately
+        # costs ~10x more round trips than one fetch per leaf.
         outs = jax.tree_util.tree_map(
-            lambda *xs: np.concatenate([np.asarray(x) for x in xs], axis=0), *step_outs
+            lambda *xs: np.asarray(
+                xs[0] if len(xs) == 1 else jnp.concatenate(xs, axis=0)
+            ),
+            *step_outs,
         )
-        res_np = [jax.tree_util.tree_map(np.asarray, r) for r in res_list]
-        rot_all = np.concatenate([r.rotations for r in res_np])
-        trans_all = np.concatenate([r.translations for r in res_np])
-        iskf_all = np.concatenate([r.is_keyframe for r in res_np])
-        successful = int(sum(r.success.sum() for r in res_np))
+        rot_all = np.asarray(jnp.concatenate([r.rotations for r in res_list]))
+        trans_all = np.asarray(jnp.concatenate([r.translations for r in res_list]))
+        iskf_all = np.asarray(jnp.concatenate([r.is_keyframe for r in res_list]))
+        successful = int(
+            np.asarray(sum(jnp.sum(r.success) for r in res_list))
+        )
     else:
         outs = None
         rot_all = trans_all = iskf_all = None

@@ -260,7 +260,8 @@ def run_vo_batched(frames, intrinsics, config: VoConfig = VoConfig(), chunk_size
     Returns a list of B VoRun results, identical to running run_vo per
     sequence with seed+b (same key schedule).
     """
-    frames = np.asarray(frames)
+    if not isinstance(frames, jnp.ndarray):  # keep device frames resident
+        frames = np.asarray(frames)
     b, t_total = frames.shape[:2]
     n_pairs = t_total - 1
     chunk = chunk_size or n_pairs
@@ -288,8 +289,14 @@ def run_vo_batched(frames, intrinsics, config: VoConfig = VoConfig(), chunk_size
             config,
             frames[:, start] if config.refine_matches else None,
         )
-        results.append(jax.tree_util.tree_map(np.asarray, res))
-    merged = VoChunkResult(*[np.concatenate(parts, axis=1) for parts in zip(*results)])
+        results.append(res)  # device-resident; one sync below
+    # Device-side concat, one fetch per leaf (see run_vo).
+    merged = VoChunkResult(
+        *[
+            np.asarray(parts[0] if len(parts) == 1 else jnp.concatenate(parts, axis=1))
+            for parts in zip(*results)
+        ]
+    )
 
     runs = []
     for i in range(b):
@@ -355,7 +362,12 @@ def run_vo(
     (last chunk pads and masks). Identical results either way: per-pair PRNG
     keys are derived from the global pair index.
     """
-    frames = np.asarray(frames)
+    # Accept device-resident frames as-is (same posture as
+    # run_point_cloud_fused): np.asarray on a device array would round-trip
+    # the whole clip through the slow tunneled host link; all downstream
+    # uses are shape reads and per-chunk slices.
+    if not isinstance(frames, jnp.ndarray):
+        frames = np.asarray(frames)
     t_total = frames.shape[0]
     if t_total < 2:
         return VoRun(
@@ -389,17 +401,31 @@ def run_vo(
             step_mask = np.arange(chunk) < (stop - start)
             if stop - start < chunk:
                 pad = chunk - (stop - start)
-                block = np.concatenate([block, np.repeat(block[-1:], pad, 0)], 0)
+                xp = jnp if isinstance(block, jnp.ndarray) else np
+                block = xp.concatenate([block, xp.repeat(block[-1:], pad, 0)], 0)
                 block_keys = jnp.concatenate([block_keys, jnp.repeat(block_keys[-1:], pad, 0)], 0)
         prev_frame = frames[start] if config.refine_matches else None
         carry, res = step(
             carry[0], carry[1], carry[2], block, block_keys, intrinsics, config, step_mask,
             prev_frame,
         )
-        res = jax.tree_util.tree_map(lambda x: np.asarray(x[: stop - start]), res)
-        results.append(res)
+        # Keep results on device: a per-chunk np.asarray would block on every
+        # chunk (serializing dispatch and paying a host round-trip per leaf);
+        # deferring the fetch lets all chunks queue back-to-back and costs
+        # one sync at the end.
+        results.append(
+            jax.tree_util.tree_map(lambda x: x[: stop - start], res)
+        )
 
-    merged = VoChunkResult(*[np.concatenate(parts, axis=0) for parts in zip(*results)])
+    # Concatenate on device (async dispatch), then ONE fetch per leaf: each
+    # device->host fetch is a synchronous round trip, so per-chunk-per-leaf
+    # fetching costs chunks x leaves round trips instead of leaves.
+    merged = VoChunkResult(
+        *[
+            np.asarray(parts[0] if len(parts) == 1 else jnp.concatenate(parts, axis=0))
+            for parts in zip(*results)
+        ]
+    )
 
     trajectory = Trajectory()
     for idx in np.nonzero(merged.is_keyframe)[0]:

@@ -54,6 +54,41 @@ jax.config.update("jax_compilation_cache_dir", os.path.abspath(_CACHE_DIR))
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
 jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
 
+# The cache write path (jax._src.lru_cache.LRUCache.put) uses a plain
+# write_bytes — NOT atomic. A test process killed mid-write (session resets,
+# timeouts) leaves a truncated entry, and the XLA deserializer hard-ABORTS
+# (uncatchable) reading it on the next warm run. Make writes atomic:
+# temp file in the same directory + os.replace.
+import jax._src.lru_cache as _lru  # noqa: E402
+
+
+def _atomic_put(self, key, val):
+    if not key:
+        raise ValueError("key cannot be empty")
+    if self.eviction_enabled and len(val) > self.max_size:  # pragma: no cover
+        return
+    cache_path = self.path / f"{key}{_lru._CACHE_SUFFIX}"
+    if self.eviction_enabled:  # pragma: no cover
+        self.lock.acquire(timeout=self.lock_timeout_secs)
+    try:
+        if cache_path.exists():
+            return
+        self._evict_if_needed(additional_size=len(val))
+        tmp = self.path / f".tmp.{os.getpid()}.{key}{_lru._CACHE_SUFFIX}"
+        tmp.write_bytes(val)
+        os.replace(tmp, cache_path)
+        if self.eviction_enabled:  # pragma: no cover
+            import time as _time
+
+            atime_path = self.path / f"{key}{_lru._ATIME_SUFFIX}"
+            atime_path.write_bytes(_time.time_ns().to_bytes(8, "little"))
+    finally:
+        if self.eviction_enabled:  # pragma: no cover
+            self.lock.release()
+
+
+_lru.LRUCache.put = _atomic_put
+
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
 
