@@ -220,6 +220,71 @@ def test_fused_pipeline_no_ba_exact_match():
     assert len(host.observations[0]) == len(fused.observations[0])
 
 
+def test_long_sequence_compile_once_and_flat_memory():
+    """Long-sequence scaling guard (VERDICT r1 weak #3/#5): across a sequence
+    long enough to straddle multiple BA windows AND map-prune events, the
+    fused phase-2 program must compile exactly once per chunk shape (no
+    per-chunk / per-window retraces), the host-loop path's windowed BA solve
+    must likewise reuse one compiled program, and device memory must return
+    to baseline afterwards (nothing accumulates O(sequence length) on chip).
+
+    Reference behavior guarded: the flagship loop of
+    examples/point_cloud.rs:154-490 runs windowed local BA every
+    `ba_interval` keyframes on arbitrarily long videos; our jitted analog
+    must not recompile or grow as the map and keyframe chain do.
+    """
+    import gc
+
+    import jax
+
+    from slamtpu.odometry.camera import CameraIntrinsics
+    from slamtpu.pipeline import point_cloud as pc
+
+    scene = render_sequence(
+        n_frames=33, height=120, width=160, n_points=400, step=0.25,
+        intrinsics=CameraIntrinsics(fx=120.0, fy=120.0, cx=80.0, cy=60.0),
+        seed=3, noise=1.0,
+    )
+    cfg = PointCloudConfig(
+        vo=VoConfig(
+            orb=OrbConfig(max_features=128, n_levels=4),
+            ransac=RansacConfig(iters=128),
+            keyframe=KeyframeConfig(0.03, 0.03, 0.7, 3),
+        ),
+        map_capacity=2048,
+        max_obs_per_kf=1024,
+    )
+
+    def live_device_bytes():
+        gc.collect()
+        return sum(int(np.prod(a.shape)) * a.dtype.itemsize for a in jax.live_arrays())
+
+    pc._fused_phase2_chunk.clear_cache()
+    base = live_device_bytes()
+    fused = pc.run_point_cloud_fused(scene.frames, scene.intrinsics, cfg, chunk_size=8)
+
+    # The sequence must actually exercise the regimes being guarded:
+    # several BA windows, and keyframe count past >=2 prune intervals.
+    assert fused.ba_runs >= 4, fused.ba_runs
+    assert len(fused.keyframe_frame_idx) >= 21
+
+    # One chunk shape (32 pairs / chunk 8) -> exactly one compiled program.
+    assert pc._fused_phase2_chunk._cache_size() == 1
+
+    del fused
+    growth = live_device_bytes() - base
+    # Compiled executables may pin small baked-in constants; anything near
+    # the clip/map footprint would mean per-chunk device state leaked.
+    assert growth < 64 * 1024 * 1024, f"device memory grew {growth / 1e6:.1f} MB"
+
+    # Host-loop path: the compact windowed BA (fixed [ba_window, L_active]
+    # shapes) must jit once and be reused by every BA run.
+    pc._ba_window_solve.clear_cache()
+    host = pc.run_point_cloud(scene.frames, scene.intrinsics, cfg, chunk_size=8)
+    assert host.ba_runs >= 4
+    assert pc._ba_window_solve._cache_size() == 1
+
+
 def test_single_frame_input():
     """A 1-frame clip has zero pairs: both pipelines must return a
     keyframe-0-only result instead of raising (regression: `chunk_size or
