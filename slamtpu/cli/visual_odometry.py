@@ -31,6 +31,11 @@ def main(argv=None):
     parser.add_argument("--seed", type=int, default=0)
     parser.add_argument("--output", default="trajectory_output.json")
     parser.add_argument("--config", metavar="JSON", help="SlamConfig file (utils/config.py)")
+    parser.add_argument(
+        "--plot", metavar="PNG",
+        help="write the top-down X-Z trajectory plot (the reference's GUI "
+        "window, visual_odometry.rs:300-391, as a file; needs cv2)",
+    )
     args = parser.parse_args(argv)
 
     import dataclasses
@@ -72,6 +77,11 @@ def main(argv=None):
 
     run.trajectory.save_to_file(args.output)
     print(f"\nTrajectory saved to: {args.output}")
+    if args.plot:
+        from ..utils.viz import save_trajectory_plot
+
+        save_trajectory_plot(run.trajectory, args.plot)
+        print(f"Trajectory plot saved to: {args.plot}")
 
 
 if __name__ == "__main__":
