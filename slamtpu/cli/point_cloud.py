@@ -40,7 +40,6 @@ def main(argv=None):
     )
     args = parser.parse_args(argv)
 
-    import dataclasses
 
     from ..feature.detector import OrbConfig
     from ..io.video import load_frames

@@ -12,9 +12,7 @@ from __future__ import annotations
 
 import json
 import os
-from typing import List
 
-import jax
 import numpy as np
 
 from ..mapping.map import MapState

@@ -16,7 +16,6 @@ assigned sequentially on insertion (map.rs:31-37).
 
 from __future__ import annotations
 
-import functools
 from typing import NamedTuple
 
 import jax

@@ -15,7 +15,6 @@ import flax.linen as nn
 import jax
 import jax.numpy as jnp
 
-from .resnet import NUM_CH_ENC
 
 __all__ = ["DepthDecoder", "NUM_CH_DEC"]
 

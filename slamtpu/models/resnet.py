@@ -22,7 +22,6 @@ from __future__ import annotations
 from typing import Sequence
 
 import flax.linen as nn
-import jax.numpy as jnp
 
 __all__ = ["ResNet18Encoder", "NUM_CH_ENC"]
 

@@ -21,7 +21,7 @@ import functools
 import jax
 import jax.numpy as jnp
 
-from .lie import hat
+
 
 
 def _f32_precision(fn):

@@ -26,7 +26,6 @@ trajectory composition — jitted over a `jax.sharding.Mesh`:
 
 from __future__ import annotations
 
-import dataclasses
 import functools
 from typing import NamedTuple
 

@@ -39,7 +39,6 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..feature.detector import OrbConfig
 from ..feature.matcher import FeatureMatcher
 from ..mapping.bundle_adjustment import BaConfig, ObservationBatch, ba_solve
 from ..mapping.keyframe import KeyframeConfig, KeyframeState
@@ -53,7 +52,6 @@ from ..mapping.map import (
 from ..mapping.triangulation import triangulate_points
 from ..odometry.camera import CameraIntrinsics
 from ..odometry.trajectory import Trajectory
-from ..ops.ransac import RansacConfig
 from .vo import VoConfig, vo_frontend
 from ..feature.detector import detect_and_compute
 
