@@ -805,6 +805,7 @@ def run_point_cloud_fused(
     config: PointCloudConfig = PointCloudConfig(),
     chunk_size: int | None = None,
     seed: int = 0,
+    resume_from: str | None = None,
 ) -> PointCloudResult:
     """`run_point_cloud` with the keyframe loop fused into scan programs.
 
@@ -815,6 +816,12 @@ def run_point_cloud_fused(
     instead of a compacted subset — both change which padded zeros exist,
     not which real observations are used, as long as the caps are not hit.
     Returns the same PointCloudResult (checkpointable).
+
+    resume_from: directory written by PointCloudResult.save_checkpoint; the
+    map, keyframe chain, trajectory, and observation log continue from the
+    restored state (same semantics as `run_point_cloud(resume_from=...)`),
+    except that the first post-resume BA window spans only keyframes created
+    after the resume (the in-scan observation ring starts empty).
     """
     # Accept device-resident frames as-is: pulling them to host here would
     # round-trip the whole clip through the (slow, tunneled) host link; all
@@ -835,7 +842,32 @@ def run_point_cloud_fused(
     carry1 = (feats0, KeyframeState.initial(), jnp.eye(4, dtype=dtype))
     carry2 = _fused_carry_init(config, feats0, dtype)
 
+    init_chain = init_obs = None
     trajectory = Trajectory()
+    if resume_from:
+        from ..io.checkpoint import load_pipeline_state
+
+        map_state, kf_r, kf_t, kf_frames0, trajectory, obs = load_pipeline_state(
+            resume_from
+        )
+        assert map_state.capacity == config.map_capacity, (
+            f"checkpoint map capacity {map_state.capacity} != configured "
+            f"{config.map_capacity}"
+        )
+        init_chain = (
+            [np.asarray(r) for r in kf_r],
+            [np.asarray(t) for t in kf_t],
+            list(kf_frames0),
+        )
+        init_obs = obs if obs else ([], [], [], [])
+        carry1 = (feats0, KeyframeState.initial(),
+                  jnp.asarray(trajectory.global_pose, dtype))
+        carry2 = carry2._replace(
+            map_state=jax.tree_util.tree_map(jnp.asarray, map_state),
+            kf_count=jnp.asarray(len(init_chain[0]), jnp.int32),
+            prev_rot=jnp.asarray(init_chain[0][-1], dtype),
+            prev_trans=jnp.asarray(init_chain[1][-1], dtype),
+        )
     successful = 0
     step_outs = []
     res_list = []
@@ -876,7 +908,8 @@ def run_point_cloud_fused(
         rot_all = trans_all = iskf_all = None
 
     recon = _phase2_host_reconstruct(
-        outs, rot_all, trans_all, iskf_all, trajectory, config
+        outs, rot_all, trans_all, iskf_all, trajectory, config,
+        init_chain=init_chain, init_obs=init_obs,
     )
     kf_rots, kf_trans, kf_frames, obs_tuple, ba_runs = recon
 
@@ -893,7 +926,10 @@ def run_point_cloud_fused(
     )
 
 
-def _phase2_host_reconstruct(outs, rot_all, trans_all, iskf_all, trajectory, config):
+def _phase2_host_reconstruct(
+    outs, rot_all, trans_all, iskf_all, trajectory, config,
+    init_chain=None, init_obs=None,
+):
     """Host-side reconstruction of the keyframe chain + observation log from
     fused-phase-2 step outputs (concatenated over all chunks, numpy).
 
@@ -904,14 +940,20 @@ def _phase2_host_reconstruct(outs, rot_all, trans_all, iskf_all, trajectory, con
     appends always precede any BA rewrite of the same index (a keyframe
     exists before BA can touch it), and applying the ring rewrites
     chronologically afterwards preserves last-write-wins.
+
+    init_chain/init_obs: optional (kf_rots, kf_trans, kf_frames) and
+    (obs_kf, obs_pt, obs_px, obs_id) seeds from a checkpoint; the fused
+    steps' global keyframe indices then continue past the restored chain.
     """
-    kf_rots: List[np.ndarray] = [np.eye(3)]
-    kf_trans: List[np.ndarray] = [np.zeros(3)]
-    kf_frames: List[int] = [0]
-    obs_kf: List[int] = []
-    obs_pt: List[int] = []
-    obs_px: List[np.ndarray] = []
-    obs_id: List[int] = []
+    if init_chain is not None:
+        kf_rots, kf_trans, kf_frames = (list(v) for v in init_chain)
+    else:
+        kf_rots: List[np.ndarray] = [np.eye(3)]
+        kf_trans: List[np.ndarray] = [np.zeros(3)]
+        kf_frames: List[int] = [0]
+    obs_kf, obs_pt, obs_px, obs_id = (
+        (list(v) for v in init_obs) if init_obs else ([], [], [], [])
+    )
     ba_runs = 0
     if outs is None:
         return kf_rots, kf_trans, kf_frames, (obs_kf, obs_pt, obs_px, obs_id), 0

@@ -88,6 +88,68 @@ def test_point_cloud_resume(tmp_path):
     assert len(resumed.trajectory) > n_kf_first
 
 
+def test_point_cloud_fused_resume_matches_host(tmp_path):
+    """The fused pipeline resumes from the same checkpoint with the same
+    semantics as the host loop: with BA disabled the two resumed runs share
+    every numerical path, so chains, map census, and observation logs must
+    agree exactly (mirrors test_fused_pipeline_no_ba_exact_match, but
+    across a checkpoint boundary)."""
+    from slamtpu.feature.detector import OrbConfig
+    from slamtpu.io.synthetic import render_sequence
+    from slamtpu.mapping.keyframe import KeyframeConfig
+    from slamtpu.odometry.camera import CameraIntrinsics
+    from slamtpu.ops.ransac import RansacConfig
+    from slamtpu.pipeline.point_cloud import (
+        PointCloudConfig,
+        run_point_cloud,
+        run_point_cloud_fused,
+    )
+    from slamtpu.pipeline.vo import VoConfig
+
+    scene = render_sequence(
+        n_frames=12, height=120, width=160, n_points=400, step=0.25,
+        intrinsics=CameraIntrinsics(fx=120.0, fy=120.0, cx=80.0, cy=60.0),
+        seed=4, noise=1.0,
+    )
+    cfg = PointCloudConfig(
+        vo=VoConfig(
+            orb=OrbConfig(max_features=128, n_levels=4),
+            ransac=RansacConfig(iters=128),
+            keyframe=KeyframeConfig(0.03, 0.03, 0.7, 3),
+        ),
+        map_capacity=2048,
+        max_obs_per_kf=1024,
+        ba_interval=0,
+    )
+    first = run_point_cloud_fused(scene.frames[:6], scene.intrinsics, cfg, seed=0)
+    first.save_checkpoint(str(tmp_path / "ck"))
+
+    host = run_point_cloud(
+        scene.frames[5:], scene.intrinsics, cfg, seed=1,
+        resume_from=str(tmp_path / "ck"),
+    )
+    fused = run_point_cloud_fused(
+        scene.frames[5:], scene.intrinsics, cfg, seed=1,
+        resume_from=str(tmp_path / "ck"),
+    )
+    assert fused.keyframe_rotations.shape[0] > first.keyframe_rotations.shape[0]
+    np.testing.assert_array_equal(host.keyframe_frame_idx, fused.keyframe_frame_idx)
+    np.testing.assert_allclose(
+        host.keyframe_rotations, fused.keyframe_rotations, atol=1e-12
+    )
+    np.testing.assert_allclose(
+        host.keyframe_translations, fused.keyframe_translations, atol=1e-10
+    )
+    np.testing.assert_array_equal(
+        np.asarray(host.map_state.valid), np.asarray(fused.map_state.valid)
+    )
+    np.testing.assert_array_equal(
+        np.asarray(host.map_state.ids), np.asarray(fused.map_state.ids)
+    )
+    assert len(host.observations[0]) == len(fused.observations[0])
+    assert len(fused.trajectory) == len(host.trajectory)
+
+
 def test_metrics_and_timer():
     from slamtpu.utils.metrics import MetricsLog, StepTimer
 
