@@ -38,14 +38,26 @@ def main(argv=None):
     parser.add_argument(
         "--rerun-save", metavar="PATH", help="write the Rerun log to a .rrd file"
     )
+    parser.add_argument(
+        "--fused", action="store_true",
+        help="run the scan-fused phase 2 (one device program per chunk; "
+        "fastest path, but incompatible with --rerun's per-keyframe logging)",
+    )
     args = parser.parse_args(argv)
+    if args.fused and (args.rerun or args.rerun_save):
+        parser.error("--fused runs phase 2 on-device; use the default host "
+                     "loop for --rerun logging")
 
 
     from ..feature.detector import OrbConfig
     from ..io.video import load_frames
     from ..mapping.keyframe import KeyframeConfig
     from ..odometry.camera import CameraIntrinsics
-    from ..pipeline.point_cloud import PointCloudConfig, run_point_cloud
+    from ..pipeline.point_cloud import (
+        PointCloudConfig,
+        run_point_cloud,
+        run_point_cloud_fused,
+    )
     from ..pipeline.vo import VoConfig
 
     frames, cam, fps = load_frames(args.input, max_frames=args.max_frames)
@@ -76,10 +88,16 @@ def main(argv=None):
             print("Warning: Rerun not available. pip install rerun-sdk")  # point_cloud.rs:75
 
     start = time.time()
-    result = run_point_cloud(
-        frames, cam, config, chunk_size=args.chunk, seed=args.seed,
-        resume_from=args.resume, rerun_logger=rerun_logger,
-    )
+    if args.fused:
+        result = run_point_cloud_fused(
+            frames, cam, config, chunk_size=args.chunk, seed=args.seed,
+            resume_from=args.resume,
+        )
+    else:
+        result = run_point_cloud(
+            frames, cam, config, chunk_size=args.chunk, seed=args.seed,
+            resume_from=args.resume, rerun_logger=rerun_logger,
+        )
     elapsed = time.time() - start
 
     # Summary mirroring point_cloud.rs:497-510.

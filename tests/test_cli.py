@@ -90,12 +90,14 @@ def test_draw_trajectory_semantics():
     assert (line_px[:, 2] > 0).any() and (line_px[:, 0] > 0).any()
 
 
-def test_point_cloud_smoke(tmp_path, monkeypatch, capsys):
+@pytest.mark.parametrize("fused", [False, True], ids=["host", "fused"])
+def test_point_cloud_smoke(tmp_path, monkeypatch, capsys, fused):
     from slamtpu.cli.point_cloud import main
 
     monkeypatch.chdir(tmp_path)
     main([CLIP, "--max-features", "128", "--chunk", "8",
-          "--map-capacity", "2048", "--checkpoint", str(tmp_path / "ckpt")])
+          "--map-capacity", "2048", "--checkpoint", str(tmp_path / "ckpt")]
+         + (["--fused"] if fused else []))
     out = capsys.readouterr().out
     # Summary mirrors point_cloud.rs:497-510.
     for line in ("Keyframes:", "3D map points:", "Bundle Adjustment runs:"):
@@ -105,6 +107,13 @@ def test_point_cloud_smoke(tmp_path, monkeypatch, capsys):
     header = (tmp_path / "point_cloud.ply").read_text().splitlines()
     assert header[0] == "ply" and "format ascii 1.0" in header[1]
     assert os.listdir(tmp_path / "ckpt")
+
+
+def test_point_cloud_fused_rejects_rerun():
+    from slamtpu.cli.point_cloud import main
+
+    with pytest.raises(SystemExit):
+        main([CLIP, "--fused", "--rerun"])
 
 
 def test_bundle_adjustment_smoke(capsys):
