@@ -34,7 +34,10 @@ def log(*args):
 def main():
     t_total = int(os.environ.get("BENCH_FRAMES", "257"))
     chunk = int(os.environ.get("BENCH_CHUNK", "32"))
-    height, width = 376, 1241
+    # KITTI odometry camera size; overridable for fast plumbing smoke tests
+    # on CPU (the recorded numbers always use the defaults).
+    height = int(os.environ.get("BENCH_H", "376"))
+    width = int(os.environ.get("BENCH_W", "1241"))
 
     import jax
 
@@ -48,6 +51,12 @@ def main():
 
     log(f"rendering {t_total} synthetic KITTI-sized frames ({height}x{width})...")
     t0 = time.time()
+    # KITTI intrinsics, rescaled when BENCH_H/BENCH_W shrink the frame for a
+    # plumbing smoke run (cx=607 on a 160-wide frame would put every sprite
+    # out of view and zero the success gate for geometric, not perf, reasons).
+    k = CameraIntrinsics.kitti()
+    sy, sx = height / 376.0, width / 1241.0
+    cam = CameraIntrinsics(k.fx * sx, k.fy * sy, k.cx * sx, k.cy * sy)
     scene = render_sequence(
         n_frames=t_total,
         height=height,
@@ -56,7 +65,7 @@ def main():
         # (2500 starved the last chunks: 26/32 pose successes vs 30/32).
         n_points=4000,
         step=0.8,
-        intrinsics=CameraIntrinsics.kitti(),
+        intrinsics=cam,
         seed=0,
         noise=2.0,
     )
@@ -324,12 +333,21 @@ def _flagship_metric(jax, frames, cam, chunk, force, log):
     elapsed = time.time() - t0
     n_kf = int(res.keyframe_frame_idx.shape[0])
     fps = (n - 1) / elapsed
+    success_rate = res.successful_frames / (n - 1)
     log(
         f"secondary: point_cloud {fps:.1f} frames/s end-to-end "
         f"({n_kf} keyframes -> {n_kf / elapsed:.1f} kf/s, {res.ba_runs} BA runs, "
         f"{int(np.asarray(res.map_state.valid).sum())} landmarks, "
         f"{res.successful_frames}/{n - 1} successes)"
     )
+    # Same posture as the headline metric: a throughput number for a
+    # pipeline producing garbage poses is not a benchmark.
+    if success_rate < 0.8 or res.ba_runs == 0:
+        log(
+            f"BENCH VALIDATION FAILED (flagship): success_rate="
+            f"{success_rate:.3f} (floor 0.8), ba_runs={res.ba_runs} (>0)"
+        )
+        raise SystemExit(1)
 
 
 if __name__ == "__main__":

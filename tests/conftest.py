@@ -49,7 +49,27 @@ jax.config.update("jax_enable_x64", True)
 # Persistent compilation cache: this sandbox has a single CPU core, so XLA
 # compiles dominate suite wall-time. Cache every executable (no minimum
 # compile time / entry size) so warm runs skip compilation entirely.
-_CACHE_DIR = os.path.join(os.path.dirname(__file__), "..", ".jax_cache")
+#
+# The cache dir is keyed by a fingerprint of the host's CPU features: the
+# sandbox migrates between host generations, XLA:CPU entries embed AOT
+# object code compiled for the *compiling* host's ISA (cpu_aot_loader warns
+# "Target machine feature +<x> is not supported on the host machine ...
+# could lead to execution errors such as SIGILL"), and the cache key does
+# NOT include those features — so a cache warmed on an AVX-512-era host can
+# hand SIGILL/SIGSEGV-prone code to a different machine. Each host
+# generation gets its own subdirectory instead.
+import hashlib
+
+try:
+    with open("/proc/cpuinfo") as _f:
+        _flags = next((l for l in _f if l.startswith("flags")), "")
+except OSError:  # pragma: no cover
+    import platform
+
+    _flags = platform.processor()
+_host_tag = "h" + hashlib.md5(_flags.encode()).hexdigest()[:10]
+_CACHE_DIR = os.path.join(os.path.dirname(__file__), "..", ".jax_cache", _host_tag)
+os.makedirs(_CACHE_DIR, exist_ok=True)
 jax.config.update("jax_compilation_cache_dir", os.path.abspath(_CACHE_DIR))
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
 jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
