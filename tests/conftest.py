@@ -113,6 +113,37 @@ import numpy as np  # noqa: E402
 import pytest  # noqa: E402
 
 
+@pytest.fixture(autouse=True)
+def _xla_map_pressure_relief():
+    """Prevent the suite's one real crash mode: memory-mapping exhaustion.
+
+    Every XLA:CPU executable the process loads (fresh compile or cache
+    deserialize) adds long-lived memory mappings (LLVM ORC code pages), and
+    jit caches keep them all alive. A full single-process suite run
+    accumulates ~60k mappings and dies with an uncatchable SIGSEGV inside
+    the next cache deserialize the moment it crosses the kernel's
+    vm.max_map_count (65530 default) — measured: 60,075 maps one minute
+    before a reproducible rc=139 at ~45% of `pytest tests/ -x -q`. Dropping
+    the jit caches releases the executables and their mappings (measured
+    1365 -> 467 maps); the persistent compilation cache makes subsequent
+    reloads cheap. Checked after every test (a /proc/self/maps line count
+    costs ~1 ms) because one heavy module can add tens of thousands of
+    mappings between module boundaries; cleared only under pressure so
+    ordinary runs keep their warm in-process caches.
+    """
+    yield
+    try:
+        with open("/proc/self/maps") as f:
+            n_maps = sum(1 for _ in f)
+    except OSError:  # pragma: no cover
+        return
+    if n_maps > 30_000:
+        import gc
+
+        jax.clear_caches()
+        gc.collect()
+
+
 @pytest.fixture
 def rng():
     return np.random.default_rng(0)
