@@ -35,6 +35,12 @@ def main(argv=None):
         help="write the top-down X-Z trajectory plot (the reference's GUI "
         "window, visual_odometry.rs:300-391, as a file; needs cv2)",
     )
+    parser.add_argument(
+        "--gt", metavar="POSES_TXT",
+        help="KITTI ground-truth pose file; prints ATE (Sim3-aligned, the "
+        "monocular convention) over the trajectory's keyframes "
+        "(the ground-truth comparison the reference lists as TODO.md:90)",
+    )
     args = parser.parse_args(argv)
 
     import dataclasses
@@ -81,6 +87,22 @@ def main(argv=None):
 
         save_trajectory_plot(run.trajectory, args.plot)
         print(f"Trajectory plot saved to: {args.plot}")
+    if args.gt:
+        import numpy as np
+
+        from ..io.kitti import load_poses
+        from ..utils.evaluate import ate_rmse
+
+        gt_poses = load_poses(args.gt)
+        # Trajectory points carry the reference's 1-based frame numbering
+        # (point 0 is the frame-0 origin); clamp to the GT range.
+        est, gt = [], []
+        for p in run.trajectory.points:
+            idx = min(max(p.frame - 1, 0), gt_poses.shape[0] - 1)
+            est.append(p.position)
+            gt.append(gt_poses[idx, :3, 3])
+        ate = ate_rmse(np.asarray(est), np.asarray(gt), align="sim3")
+        print(f"ATE vs ground truth (Sim3-aligned, {len(est)} keyframes): {ate:.3f} m")
 
 
 if __name__ == "__main__":

@@ -65,6 +65,29 @@ def test_visual_odometry_smoke(tmp_path, monkeypatch, capsys):
     assert (tmp_path / "traj.png").exists()
 
 
+def test_visual_odometry_gt_eval(tmp_path, monkeypatch, capsys):
+    """--gt scores the run against a KITTI-format pose file (the ground-
+    truth comparison the reference leaves as TODO.md:90)."""
+    from slamtpu.cli.visual_odometry import main
+
+    # Constant-velocity +z ground truth in the devkit's 3x4 row format.
+    rows = []
+    for i in range(10):
+        p = np.hstack([np.eye(3), [[0.0], [0.0], [float(i)]]])
+        rows.append(p.reshape(-1))
+    np.savetxt(tmp_path / "poses.txt", np.asarray(rows))
+
+    monkeypatch.chdir(tmp_path)
+    main([CLIP, "--max-features", "128", "--chunk", "8",
+          "--output", str(tmp_path / "t.json"), "--gt", str(tmp_path / "poses.txt")])
+    out = capsys.readouterr().out
+    assert "ATE vs ground truth" in out
+    ate = float(out.split("keyframes):")[1].split("m")[0])
+    # The synthetic clip IS constant-velocity forward motion: after Sim3
+    # alignment the estimate must land near this ground truth.
+    assert np.isfinite(ate) and ate < 1.0, out
+
+
 def test_draw_trajectory_semantics():
     """The headless top-down plot mirrors visual_odometry.rs:300-391: white
     canvas, <2 points blank, green start dot, red end dot, blue->red
