@@ -154,3 +154,62 @@ def test_sharded_flagship_matches_serial():
     n_se = int(np.asarray(se.map_state.valid).sum())
     assert n_se > 50
     assert abs(n_sh - n_se) <= max(15, 0.15 * n_se), (n_sh, n_se)
+
+
+def test_batched_flagship_matches_serial():
+    """Data-parallel flagship: B clips over the mesh's data rows, one fused
+    mapping phase (own landmark map) per clip, must reproduce the serial
+    fused flagship per clip — same schedule tolerance story as
+    test_sharded_flagship_matches_serial."""
+    from scipy.spatial.transform import Rotation
+
+    from slamtpu.mapping.keyframe import KeyframeConfig
+    from slamtpu.parallel.flagship import run_point_cloud_batched
+    from slamtpu.pipeline.point_cloud import PointCloudConfig, run_point_cloud_fused
+
+    scenes = [
+        render_sequence(n_frames=16, height=160, width=224, n_points=500, step=0.5, seed=s)
+        for s in (7, 11)
+    ]
+    cam = scenes[0].intrinsics
+    cfg = PointCloudConfig(
+        vo=VoConfig(
+            orb=OrbConfig(max_features=200),
+            ransac=RansacConfig(iters=150),
+            keyframe=KeyframeConfig(0.03, 0.03, 0.7, 3),
+        ),
+        map_capacity=2048,
+        max_obs_per_kf=256,
+        max_ba_landmarks=512,
+        max_ba_observations=1024,
+    )
+    frames = np.stack([s.frames for s in scenes]).astype(np.float32)
+
+    mesh = make_mesh(8, data=2)
+    batched = run_point_cloud_batched(frames, cam, mesh, cfg, seeds=[0, 1])
+    assert len(batched) == 2
+
+    for b, sh in enumerate(batched):
+        se = run_point_cloud_fused(frames[b], cam, cfg, seed=b)
+        assert sh.keyframe_frame_idx.tolist() == se.keyframe_frame_idx.tolist()
+        assert sh.ba_runs == se.ba_runs
+        assert sh.successful_frames == se.successful_frames
+        assert len(sh.keyframe_frame_idx) >= 8
+
+        rel = np.einsum("tij,tkj->tik", sh.keyframe_rotations, se.keyframe_rotations)
+        angles = np.degrees(
+            np.linalg.norm(Rotation.from_matrix(rel).as_rotvec(), axis=-1)
+        )
+        assert angles.max() < 1.5, f"clip {b}: rotation gap {angles.max():.2f} deg"
+        np.testing.assert_allclose(
+            sh.keyframe_translations, se.keyframe_translations, atol=0.4
+        )
+        n_sh = int(np.asarray(sh.map_state.valid).sum())
+        n_se = int(np.asarray(se.map_state.valid).sum())
+        assert n_se > 50
+        assert abs(n_sh - n_se) <= max(15, 0.15 * n_se), (b, n_sh, n_se)
+
+    # Independent clips: the two maps must differ (no cross-clip leakage).
+    assert not np.array_equal(
+        np.asarray(batched[0].map_state.valid), np.asarray(batched[1].map_state.valid)
+    )
