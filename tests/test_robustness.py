@@ -39,6 +39,50 @@ def test_failed_frames_are_identity_motion(corrupted_run):
     assert run.keyframe_count == int(run.is_keyframe.sum())
 
 
+def test_fused_pipeline_survives_corrupt_frames():
+    """The scan-fused flagship handles dead/noise frames like the host loop:
+    failed pairs are masked (no keyframe, no map growth from them), the
+    pipelines agree on the schedule, and nothing raises. Guards the fused
+    scan's cond-masking under mid-clip VO failure."""
+    from slamtpu.mapping.keyframe import KeyframeConfig
+    from slamtpu.odometry.camera import CameraIntrinsics
+    from slamtpu.pipeline.point_cloud import (
+        PointCloudConfig,
+        run_point_cloud,
+        run_point_cloud_fused,
+    )
+    from slamtpu.pipeline.vo import VoConfig
+
+    scene = render_sequence(
+        n_frames=14, height=120, width=160, n_points=400, step=0.25,
+        intrinsics=CameraIntrinsics(fx=120.0, fy=120.0, cx=80.0, cy=60.0),
+        seed=6, noise=1.0,
+    )
+    frames = scene.frames.copy()
+    frames[6] = 0  # dead camera frame mid-clip
+    cfg = PointCloudConfig(
+        vo=VoConfig(
+            orb=OrbConfig(max_features=128, n_levels=4),
+            ransac=RansacConfig(iters=128),
+            keyframe=KeyframeConfig(0.03, 0.03, 0.7, 3),
+        ),
+        map_capacity=2048,
+        max_obs_per_kf=1024,
+    )
+    host = run_point_cloud(frames, scene.intrinsics, cfg, chunk_size=8)
+    fused = run_point_cloud_fused(frames, scene.intrinsics, cfg, chunk_size=8)
+
+    np.testing.assert_array_equal(host.keyframe_frame_idx, fused.keyframe_frame_idx)
+    assert host.successful_frames == fused.successful_frames
+    # The dead frame's pairs (5->6 and 6->7) are not keyframes.
+    assert 6 not in fused.keyframe_frame_idx
+    assert 7 not in fused.keyframe_frame_idx
+    # The pipeline recovered: keyframes exist on both sides of the dropout.
+    idx = np.asarray(fused.keyframe_frame_idx)
+    assert (idx > 7).any() and ((idx > 0) & (idx < 6)).any()
+    assert int(np.asarray(fused.map_state.valid).sum()) > 50
+
+
 def test_map_quality_against_ground_truth_landmarks():
     """Triangulated landmarks sit near TRUE scene points (up to the global
     scale ambiguity of monocular VO, fixed here by the unit-step convention
