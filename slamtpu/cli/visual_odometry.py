@@ -95,14 +95,27 @@ def main(argv=None):
 
         gt_poses = load_poses(args.gt)
         # Trajectory points carry the reference's 1-based frame numbering
-        # (point 0 is the frame-0 origin); clamp to the GT range.
-        est, gt = [], []
+        # (point 0 is the frame-0 origin). Frames beyond the GT file are a
+        # sequence mismatch — score only the covered prefix and say so.
+        est, gt, dropped = [], [], 0
         for p in run.trajectory.points:
-            idx = min(max(p.frame - 1, 0), gt_poses.shape[0] - 1)
+            idx = max(p.frame - 1, 0)
+            if idx >= gt_poses.shape[0]:
+                dropped += 1
+                continue
             est.append(p.position)
             gt.append(gt_poses[idx, :3, 3])
-        ate = ate_rmse(np.asarray(est), np.asarray(gt), align="sim3")
-        print(f"ATE vs ground truth (Sim3-aligned, {len(est)} keyframes): {ate:.3f} m")
+        if dropped:
+            print(
+                f"Warning: ground-truth file has {gt_poses.shape[0]} poses but the "
+                f"trajectory reaches frame {run.trajectory.points[-1].frame}; "
+                f"{dropped} keyframes beyond it were excluded from the ATE"
+            )
+        if len(est) < 2:
+            print("ATE vs ground truth: not enough overlapping keyframes")
+        else:
+            ate = ate_rmse(np.asarray(est), np.asarray(gt), align="sim3")
+            print(f"ATE vs ground truth (Sim3-aligned, {len(est)} keyframes): {ate:.3f} m")
 
 
 if __name__ == "__main__":

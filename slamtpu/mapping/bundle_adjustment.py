@@ -37,6 +37,8 @@ from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp
+
+from ..ops.precision import f32_precision as _f32_precision
 import numpy as np
 
 from ..odometry.camera import CameraIntrinsics
@@ -142,8 +144,6 @@ def pose_point_jacobians(intrinsics, rotation, translation, point):
     j_point = j_proj @ rotation
     return j_pose, j_point
 
-
-from ..ops.epipolar import _f32_precision
 
 
 @_f32_precision

@@ -19,6 +19,8 @@ import dataclasses
 from typing import NamedTuple, Optional
 
 import jax.numpy as jnp
+
+from ..ops.precision import f32_precision as _f32_precision
 import numpy as np
 
 from ..odometry.camera import CameraIntrinsics
@@ -56,8 +58,6 @@ def _projection_matrix(intrinsics: CameraIntrinsics, rotation, translation, dtyp
     )
     return intrinsics.to_matrix(dtype) @ rt  # [3, 4]
 
-
-from ..ops.epipolar import _f32_precision
 
 
 @_f32_precision

@@ -16,33 +16,14 @@ Conventions (pinned to OpenCV so the oracle tests are direct comparisons):
 
 from __future__ import annotations
 
-import functools
 
 import jax
 import jax.numpy as jnp
 
+from .precision import f32_precision as _f32_precision
 
 
 
-def _f32_precision(fn):
-    """Run all contractions at true f32 precision.
-
-    The TPU default lowers f32 matmuls to one bf16 MXU pass (~3e-3 relative
-    error). Epipolar algebra cannot tolerate that: the normal matrix of a
-    small-motion 8-point system separates its true null direction from the
-    spurious antisymmetric near-null cluster only at the ~1e-6 level, and
-    Sampson inlier classification compares ~1e-3-scale numerators against a
-    (1px/f)^2 threshold. Measured effect on v5e: 1 RANSAC inlier with the
-    default precision vs 130+ with HIGHEST, on identical KITTI-scale input.
-    These are tiny-dimension contractions (3..9), so the cost is nil.
-    """
-
-    @functools.wraps(fn)
-    def wrapped(*args, **kwargs):
-        with jax.default_matmul_precision("highest"):
-            return fn(*args, **kwargs)
-
-    return wrapped
 
 __all__ = [
     "eight_point",

@@ -165,6 +165,11 @@ def run_point_cloud_batched(
         f"{batch} clips must equal the mesh's data size {n_data} (one map "
         "per data row)"
     )
+    n_seq = int(np.prod(list(mesh.shape.values()))) // n_data
+    assert t_total % n_seq == 0, (
+        f"{t_total} frames do not shard evenly over the {n_seq}-way seq "
+        "axis; pad or trim the clips"
+    )
     n_pairs = t_total - 1
     seeds = list(range(batch)) if seeds is None else list(seeds)
     assert len(seeds) == batch
@@ -224,18 +229,13 @@ def run_point_cloud_batched(
         to_col(feats0), to_col(feats1), to_col(rel_rot), to_col(rel_trans), to_col(is_kf)
     )
 
-    spec = lambda tree: jax.tree_util.tree_map(lambda _: P(DATA_AXIS), tree)
-    # out_specs needs the output STRUCTURE; eval_shape the body once (cheap:
-    # abstract evaluation only).
-    out_shape = jax.eval_shape(one_clip, feats0, feats1, rel_rot, rel_trans, is_kf)
+    # A single spec acts as a pytree prefix broadcast over every leaf.
     phase2 = jax.jit(
         jax.shard_map(
             one_clip,
             mesh=data_mesh,
-            in_specs=(
-                spec(feats0), spec(feats1), P(DATA_AXIS), P(DATA_AXIS), P(DATA_AXIS),
-            ),
-            out_specs=jax.tree_util.tree_map(lambda _: P(DATA_AXIS), out_shape),
+            in_specs=P(DATA_AXIS),
+            out_specs=P(DATA_AXIS),
             check_vma=False,
         )
     )

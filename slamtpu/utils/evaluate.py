@@ -93,6 +93,17 @@ class TrajectoryErrors:
         return float(np.degrees(self.r_rel) * 100.0)
 
 
+def _homogenize(poses: np.ndarray) -> np.ndarray:
+    """Accept [T, 3, 4] (the KITTI devkit / io.kitti.load_poses row format)
+    or [T, 4, 4]; return [T, 4, 4]."""
+    if poses.shape[1:] == (3, 4):
+        bottom = np.zeros((poses.shape[0], 1, 4), poses.dtype)
+        bottom[:, 0, 3] = 1.0
+        return np.concatenate([poses, bottom], axis=1)
+    assert poses.shape[1:] == (4, 4), f"expected [T,3,4] or [T,4,4], got {poses.shape}"
+    return poses
+
+
 def _trajectory_distances(positions: np.ndarray) -> np.ndarray:
     steps = np.linalg.norm(np.diff(positions, axis=0), axis=1)
     return np.concatenate([[0.0], np.cumsum(steps)])
@@ -114,9 +125,9 @@ def kitti_relative_errors(
     ground-truth path is too short to cover are skipped (the devkit does
     the same).
     """
-    est_poses = np.asarray(est_poses, np.float64)
-    gt_poses = np.asarray(gt_poses, np.float64)
-    assert est_poses.shape == gt_poses.shape and est_poses.shape[1:] == (4, 4)
+    est_poses = _homogenize(np.asarray(est_poses, np.float64))
+    gt_poses = _homogenize(np.asarray(gt_poses, np.float64))
+    assert est_poses.shape == gt_poses.shape
     t_total = est_poses.shape[0]
     dist = _trajectory_distances(gt_poses[:, :3, 3])
 

@@ -9,12 +9,13 @@ numerics (bundle adjustment, pose composition) are testable.
 import os
 import resource
 
-# The XLA:CPU compiler segfaults flakily in long many-compile processes
-# (observed ~once per multi-hundred-compile run, round 1 and round 2). Two
-# mitigations: raise the 8 MB default stack (LLVM JIT compile threads inherit
-# it, and deep recursion on big modules can blow it), and the persistent
-# compilation cache below (a warm run compiles almost nothing, removing the
-# trigger entirely).
+# Raise the MAIN thread's stack headroom for deep Python/tracer recursion on
+# big jaxpr transforms. Note this does NOT reach XLA/LLVM worker threads:
+# glibc snapshots the default pthread stack size from the rlimit at process
+# start, so threads created later still get the original 8 MB — compile-
+# thread crashes are instead mitigated by codegen_split_count=1 below, and
+# the long-process SIGSEGV (vm.max_map_count exhaustion) by the
+# _xla_map_pressure_relief fixture.
 try:
     _soft, _hard = resource.getrlimit(resource.RLIMIT_STACK)
     _want = 512 * 1024 * 1024

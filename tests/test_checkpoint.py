@@ -150,6 +150,56 @@ def test_point_cloud_fused_resume_matches_host(tmp_path):
     assert len(fused.trajectory) == len(host.trajectory)
 
 
+def test_point_cloud_fused_resume_with_ba(tmp_path):
+    """The documented BA-enabled resume contract: the fused runner resumes,
+    post-resume BA fires over post-resume keyframes only (empty ring), the
+    map and chain keep growing, and the restored prefix of the chain is
+    preserved verbatim (BA windows never reach back across the resume)."""
+    from slamtpu.feature.detector import OrbConfig
+    from slamtpu.io.synthetic import render_sequence
+    from slamtpu.mapping.keyframe import KeyframeConfig
+    from slamtpu.odometry.camera import CameraIntrinsics
+    from slamtpu.ops.ransac import RansacConfig
+    from slamtpu.pipeline.point_cloud import PointCloudConfig, run_point_cloud_fused
+    from slamtpu.pipeline.vo import VoConfig
+
+    scene = render_sequence(
+        n_frames=14, height=120, width=160, n_points=400, step=0.25,
+        intrinsics=CameraIntrinsics(fx=120.0, fy=120.0, cx=80.0, cy=60.0),
+        seed=8, noise=1.0,
+    )
+    cfg = PointCloudConfig(
+        vo=VoConfig(
+            orb=OrbConfig(max_features=128, n_levels=4),
+            ransac=RansacConfig(iters=128),
+            keyframe=KeyframeConfig(0.03, 0.03, 0.7, 3),
+        ),
+        map_capacity=2048,
+        max_obs_per_kf=1024,
+        ba_interval=3,
+    )
+    first = run_point_cloud_fused(scene.frames[:8], scene.intrinsics, cfg, seed=0)
+    assert first.ba_runs >= 2
+    first.save_checkpoint(str(tmp_path / "ck"))
+
+    resumed = run_point_cloud_fused(
+        scene.frames[7:], scene.intrinsics, cfg, seed=1,
+        resume_from=str(tmp_path / "ck"),
+    )
+    n_first = first.keyframe_rotations.shape[0]
+    assert resumed.keyframe_rotations.shape[0] > n_first
+    assert resumed.ba_runs >= 1  # BA fired post-resume
+    assert len(resumed.points()) > len(first.points())
+    # Restored prefix untouched: post-resume BA windows only cover new
+    # keyframes (the in-scan ring starts empty at the resume point).
+    np.testing.assert_array_equal(
+        resumed.keyframe_rotations[:n_first], first.keyframe_rotations
+    )
+    np.testing.assert_array_equal(
+        resumed.keyframe_translations[:n_first], first.keyframe_translations
+    )
+
+
 def test_metrics_and_timer():
     from slamtpu.utils.metrics import MetricsLog, StepTimer
 

@@ -48,6 +48,7 @@ def test_visualize_features_smoke(tmp_path, monkeypatch, capsys):
 
 
 def test_visual_odometry_smoke(tmp_path, monkeypatch, capsys):
+    pytest.importorskip("cv2")  # --plot renders through cv2
     from slamtpu.cli.visual_odometry import main
 
     monkeypatch.chdir(tmp_path)

@@ -22,8 +22,12 @@ for f in tests/test_*.py; do
     if [ "$rc" -eq 0 ]; then
       ok=1
       break
+    elif [ "$rc" -eq 130 ] || [ "$rc" -eq 2 ]; then
+      # SIGINT / keyboard interrupt: the user wants OUT, not a retry.
+      echo "Interrupted (rc=$rc) in $f — aborting" >&2
+      exit 130
     elif [ "$rc" -ge 128 ] || [ "$rc" -eq 134 ] || [ "$rc" -eq 139 ]; then
-      echo "CRASH rc=$rc in $f (attempt $attempt) — retrying" >&2
+      echo "CRASH rc=$rc in $f (attempt $attempt)" >&2
     else
       # genuine test failure: no point retrying
       break
