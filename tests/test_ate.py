@@ -110,6 +110,53 @@ def test_ate_within_north_star(fair_lateral_scene, fair_run):
     )
 
 
+def test_relative_drift_beats_oracle(fair_lateral_scene, fair_run):
+    """KITTI devkit-style drift (utils/evaluate.kitti_relative_errors, the
+    reference's unchecked TODO.md:90) on the fair scene: our average
+    translational drift over unit-step segments must not exceed the
+    cv2-oracle pipeline's by more than the north-star margin. Segment
+    lengths scale to the synthetic path (~159 unit steps)."""
+    from slamtpu.utils.evaluate import kitti_relative_errors
+
+    scene = fair_lateral_scene
+    run = fair_run
+    oracle_rel = cv2_vo_relative(scene.frames, scene.intrinsics, nfeatures=800)
+    n_pairs = scene.frames.shape[0] - 1
+    common = [i for i in range(n_pairs) if run.success[i] and i in oracle_rel]
+
+    def poses_from(rel_list):
+        pos = compose_positions(rel_list)
+        # Build [T, 4, 4] with identity rotations: translational drift is
+        # position-driven; rotation drift is covered by the direction test.
+        poses = np.tile(np.eye(4), (len(pos), 1, 1))
+        poses[:, :3, 3] = pos
+        return poses
+
+    ours = poses_from([(run.rotations[i], run.translations[i]) for i in common])
+    oracle = poses_from([oracle_rel[i] for i in common])
+    gt = poses_from(
+        [
+            (
+                scene.rel_rotations[i],
+                scene.rel_translations[i] / np.linalg.norm(scene.rel_translations[i]),
+            )
+            for i in common
+        ]
+    )
+
+    lengths = (20.0, 40.0, 80.0)  # unit-step segments on a ~159-step path
+    ours_err = kitti_relative_errors(ours, gt, lengths=lengths, step=5)
+    oracle_err = kitti_relative_errors(oracle, gt, lengths=lengths, step=5)
+    assert ours_err.n_segments > 20
+    print(
+        f"\nrelative drift: ours {ours_err.t_rel_percent:.2f}% vs "
+        f"oracle {oracle_err.t_rel_percent:.2f}% over {ours_err.n_segments} segments"
+    )
+    assert ours_err.t_rel <= 1.01 * oracle_err.t_rel, (
+        f"ours {ours_err.t_rel_percent:.2f}% vs oracle {oracle_err.t_rel_percent:.2f}%"
+    )
+
+
 def test_per_step_direction_accuracy(fair_lateral_scene, fair_run):
     """Secondary: median per-step translation-direction error must stay
     tight on the well-conditioned geometry (no oracle needed, GT exact)."""
