@@ -78,7 +78,16 @@ def refine_matches(img1, img2, p1, p2, mask=None, radius: int = 4, search: int =
     cost = jnp.stack(costs, axis=-2)  # [K, n_off, n_off]
 
     flat = cost.reshape(k, -1)
-    amin = jnp.argmin(flat, axis=-1)
+    # Center-preferring tie-break: on (near-)flat SSD surfaces — textureless
+    # patches, repeated structure — a bare argmin lands on the first grid
+    # cell (the corner) and would shift the match by `-search` px for no
+    # evidence. Bias each cell by a term proportional to its squared offset,
+    # scaled to ~1e-6 of the per-match cost range so any genuine minimum
+    # still wins.
+    off2 = (jnp.arange(n_off, dtype=jnp.float32) - search) ** 2
+    dist2 = (off2[:, None] + off2[None, :]).reshape(-1)
+    rng_cost = jnp.max(flat, axis=-1, keepdims=True) - jnp.min(flat, axis=-1, keepdims=True)
+    amin = jnp.argmin(flat + dist2 * (1e-6 * rng_cost + 1e-30), axis=-1)
     iy = amin // n_off
     ix = amin % n_off
 
