@@ -66,6 +66,33 @@ def test_visual_odometry_smoke(tmp_path, monkeypatch, capsys):
     assert (tmp_path / "traj.png").exists()
 
 
+def test_visual_odometry_config_file(tmp_path, monkeypatch, capsys):
+    """--config loads a SlamConfig JSON (the reference's four config
+    mechanisms unified, SURVEY.md §5); its knobs override the flag defaults."""
+    import dataclasses
+    import json as _json
+
+    from slamtpu.cli.visual_odometry import main
+    from slamtpu.feature.detector import OrbConfig
+    from slamtpu.ops.ransac import RansacConfig
+    from slamtpu.utils.config import SlamConfig, save_config
+
+    cfg = SlamConfig(
+        orb=OrbConfig(max_features=128, n_levels=4),
+        ransac=RansacConfig(iters=128),
+    )
+    save_config(cfg, str(tmp_path / "slam.json"))
+    # File survives a round trip with the distinctive knob intact.
+    assert _json.loads((tmp_path / "slam.json").read_text())["orb"]["n_levels"] == 4
+
+    monkeypatch.chdir(tmp_path)
+    main([CLIP, "--chunk", "8", "--output", str(tmp_path / "t.json"),
+          "--config", str(tmp_path / "slam.json")])
+    out = capsys.readouterr().out
+    assert "Successful poses:" in out
+    assert (tmp_path / "t.json").exists()
+
+
 def test_visual_odometry_gt_eval(tmp_path, monkeypatch, capsys):
     """--gt scores the run against a KITTI-format pose file (the ground-
     truth comparison the reference leaves as TODO.md:90)."""
