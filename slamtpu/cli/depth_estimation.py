@@ -24,6 +24,11 @@ def main(argv=None):
     parser.add_argument("input")
     parser.add_argument("--encoder")
     parser.add_argument("--decoder")
+    parser.add_argument(
+        "--bf16", action="store_true",
+        help="run the network in bfloat16 (TPU inference recipe: ~2x MXU "
+        "throughput, ~1e-2 relative disparity error)",
+    )
     parser.add_argument("--random-init", action="store_true",
                         help="run with random weights (no checkpoints; smoke/timing)")
     parser.add_argument("--width", type=int, default=640)
@@ -51,11 +56,17 @@ def main(argv=None):
     frames, _, _ = load_frames(args.input, max_frames=args.max_frames, skip_frames=args.skip_frames)
     print(f"Loaded {frames.shape[0]} frames {frames.shape[1]}x{frames.shape[2]}")
 
+    compute_dtype = None
+    if args.bf16:
+        import jax.numpy as jnp
+
+        compute_dtype = jnp.bfloat16
     model = MonoDepth2(
         encoder_path=args.encoder if not args.random_init else None,
         depth_path=args.decoder if not args.random_init else None,
         width=args.width,
         height=args.height,
+        compute_dtype=compute_dtype,
     )
 
     times = []
