@@ -289,6 +289,23 @@ def _secondary_metrics(jax, frames, cam, config, blocks, keys, chunk, force, log
         f"(batch {depth_batch}, 640x192, scale-0 disparity)"
     )
 
+    # bf16 inference mode (the TPU recipe; accuracy parity in test_depth.py).
+    model16 = MonoDepth2(
+        encoder_vars=model.encoder_vars,
+        decoder_vars=model.decoder_vars,
+        compute_dtype=jnp.bfloat16,
+    )
+    force(model16._forward(model16.encoder_vars, model16.decoder_vars, clips[0]))
+    t0 = time.time()
+    outs = [model16._forward(model16.encoder_vars, model16.decoder_vars, c) for c in clips]
+    for o in outs:
+        force(o)
+    ms16 = (time.time() - t0) / (len(clips) * depth_batch) * 1000
+    log(
+        f"secondary: MonoDepth2 bf16 {ms16:.2f} ms/frame "
+        f"({ms_depth / max(ms16, 1e-9):.2f}x vs f32)"
+    )
+
 
 def _flagship_metric(jax, frames, cam, chunk, force, log):
     """BASELINE config 4: the flagship point_cloud pipeline end-to-end —
