@@ -34,6 +34,14 @@ def main(argv=None):
     parser.add_argument("--width", type=int, default=640)
     parser.add_argument("--height", type=int, default=192)
     parser.add_argument("--save", metavar="DIR", help="write colored depth PNGs (needs cv2)")
+    parser.add_argument(
+        "--rerun", action="store_true",
+        help="log frames + colored depth to the Rerun viewer "
+        "(depth_estimation.rs --rerun, :306-343)",
+    )
+    parser.add_argument(
+        "--rerun-save", metavar="PATH", help="write the Rerun log to a .rrd file"
+    )
     parser.add_argument("--skip-frames", type=int, default=0)
     parser.add_argument("--max-frames", type=int)
     parser.add_argument("--batch", type=int, default=8)
@@ -56,6 +64,15 @@ def main(argv=None):
     frames, _, _ = load_frames(args.input, max_frames=args.max_frames, skip_frames=args.skip_frames)
     print(f"Loaded {frames.shape[0]} frames {frames.shape[1]}x{frames.shape[2]}")
 
+    rerun_logger = None
+    if args.rerun or args.rerun_save:
+        from ..utils.metrics import RerunLogger
+
+        rerun_logger = RerunLogger(save_path=args.rerun_save)
+        if not rerun_logger.active:
+            print("rerun package not available; --rerun ignored")
+            rerun_logger = None
+
     compute_dtype = None
     if args.bf16:
         import jax.numpy as jnp
@@ -77,11 +94,17 @@ def main(argv=None):
         ms = (time.time() - t0) * 1000.0
         times.append(ms / block.shape[0])
         print(f"Frames {start}-{start + block.shape[0] - 1}: {ms / block.shape[0]:.1f} ms/frame")
+        colored = None
+        if args.save or rerun_logger is not None:
+            colored = model.predict_colored(block)
+        if rerun_logger is not None:
+            for i in range(block.shape[0]):
+                rerun_logger.set_frame(start + i)
+                rerun_logger.log_depth(block[i], colored[i], start + i)
         if args.save:
             os.makedirs(args.save, exist_ok=True)
             import cv2
 
-            colored = model.predict_colored(block)
             for i in range(block.shape[0]):
                 cv2.imwrite(
                     os.path.join(args.save, f"depth_{start + i:05d}.png"),

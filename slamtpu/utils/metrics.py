@@ -205,6 +205,21 @@ class RerunLogger:
             canvas = draw_match_image(prev_image, image, pts_prev, pts_cur)
             self._rr.log("world/keyframe_matches", self._rr.Image(canvas))
 
+    def log_depth(self, rgb_image, depth_colored, frame_idx: int):
+        """Depth-estimation viewer surface (examples/depth_estimation.rs:
+        306-343): the input frame at camera/rgb, the colormapped disparity
+        at camera/depth_colored, and a "Frame: N" text document at info.
+        The reference ships BGR byte buffers because its Mats are BGR;
+        frames here are already RGB (grayscale expanded like cvt_color)."""
+        if not self._rr:
+            return
+        self._rr.log("camera/rgb", self._rr.Image(_to_rgb(rgb_image)))
+        self._rr.log(
+            "camera/depth_colored",
+            self._rr.Image(np.asarray(depth_colored, np.uint8)),
+        )
+        self._rr.log("info", self._rr.TextDocument(f"Frame: {int(frame_idx)}"))
+
 
 def _depth_colors(depths) -> np.ndarray:
     """Vectorized blue->green->red 0..50m ramp (same truncating casts as

@@ -56,7 +56,8 @@ def fake_rerun(monkeypatch):
         rr.events.append((entity, payload, static))
 
     rr.log = log
-    for kind in ("Image", "Points2D", "Points3D", "LineStrips3D", "Transform3D"):
+    for kind in ("Image", "Points2D", "Points3D", "LineStrips3D", "Transform3D",
+                 "TextDocument"):
         setattr(rr, kind, _archetype(kind))
     rr.ViewCoordinates = types.SimpleNamespace(RUB="RUB")
 
@@ -188,3 +189,24 @@ def test_logger_inactive_without_rerun():
     logger.log_matches_image(np.zeros((2, 2)), np.zeros((2, 2)), [], [])
     logger.log_points(np.zeros((1, 3)))
     logger.log_trajectory(np.zeros((3, 3)))
+    logger.log_depth(np.zeros((2, 2)), np.zeros((2, 2, 3)), 0)
+
+
+def test_depth_cli_rerun(fake_rerun, capsys):
+    """depth_estimation --rerun logs the reference's three entities per
+    processed frame: camera/rgb, camera/depth_colored, and a "Frame: N"
+    text document (examples/depth_estimation.rs:306-343)."""
+    from slamtpu.cli.depth_estimation import main
+
+    main(["synthetic:2x96x128", "--random-init", "--batch", "2",
+          "--width", "64", "--height", "32", "--rerun"])
+
+    rgb = _events(fake_rerun, "camera/rgb", "Image")
+    depth = _events(fake_rerun, "camera/depth_colored", "Image")
+    info = _events(fake_rerun, "info", "TextDocument")
+    assert len(rgb) == len(depth) == len(info) == 2
+    assert rgb[0][1].args[0].shape == (96, 128, 3)  # input resolution, RGB
+    d = depth[0][1].args[0]
+    assert d.shape == (32, 64, 3) and d.dtype == np.uint8  # model resolution
+    assert info[1][1].args[0] == "Frame: 1"
+    assert ("frame", 1) in fake_rerun.times
