@@ -31,6 +31,45 @@ def log(*args):
     print(*args, file=sys.stderr, flush=True)
 
 
+def _enable_compile_cache(jax):
+    """Persistent XLA compilation cache under <repo>/.jax_cache/bench.
+
+    Cold TPU compiles for the benchmark programs cost ~5 min of the bench
+    budget on a slow host; the cache cuts reruns (including the driver's
+    round-end run on the same machine) to seconds. XLA keys entries by
+    backend + compile options internally, so one directory is safe across
+    libtpu upgrades. Writes are made atomic (tmp + os.replace) because the
+    stock LRU cache's plain write leaves truncated entries when a run is
+    killed mid-write, and the XLA deserializer hard-aborts on them.
+    """
+    cache_dir = os.path.join(os.path.dirname(os.path.abspath(__file__)), ".jax_cache", "bench")
+    os.makedirs(cache_dir, exist_ok=True)
+    jax.config.update("jax_compilation_cache_dir", cache_dir)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+    jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+
+    import jax._src.lru_cache as lru
+
+    orig_put = lru.LRUCache.put
+
+    def atomic_put(self, key, val):
+        if not key:
+            raise ValueError("key cannot be empty")
+        cache_path = self.path / f"{key}{lru._CACHE_SUFFIX}"
+        if cache_path.exists():
+            return
+        tmp = self.path / f".tmp.{os.getpid()}.{key}{lru._CACHE_SUFFIX}"
+        try:
+            tmp.write_bytes(val)
+            os.replace(tmp, cache_path)
+        except OSError:  # out of space etc.: fall back to no caching
+            if tmp.exists():
+                tmp.unlink()
+
+    if getattr(orig_put, "__name__", "") != "atomic_put":
+        lru.LRUCache.put = atomic_put
+
+
 def main():
     t_total = int(os.environ.get("BENCH_FRAMES", "257"))
     chunk = int(os.environ.get("BENCH_CHUNK", "32"))
@@ -41,10 +80,11 @@ def main():
 
     import jax
 
+    _enable_compile_cache(jax)
     log(f"devices: {jax.devices()}")
 
     from slamtpu.feature.detector import OrbConfig, detect_and_compute
-    from slamtpu.io.synthetic import render_sequence
+    from slamtpu.io.synthetic import render_sequence_cached
     from slamtpu.mapping.keyframe import KeyframeState
     from slamtpu.odometry.camera import CameraIntrinsics
     from slamtpu.pipeline.vo import VoConfig, vo_chunk
@@ -57,7 +97,7 @@ def main():
     k = CameraIntrinsics.kitti()
     sy, sx = height / 376.0, width / 1241.0
     cam = CameraIntrinsics(k.fx * sx, k.fy * sy, k.cx * sx, k.cy * sy)
-    scene = render_sequence(
+    scene = render_sequence_cached(
         n_frames=t_total,
         height=height,
         width=width,

@@ -24,6 +24,7 @@ from ..odometry.camera import CameraIntrinsics
 __all__ = [
     "SyntheticScene",
     "render_sequence",
+    "render_sequence_cached",
     "forward_path",
     "lateral_path",
     "orbit_path",
@@ -106,6 +107,84 @@ def orbit_path(n_frames: int, radius: float = 15.0, angle_step: float = 0.004):
         rotations[i] = r_cw.T
         translations[i] = -rotations[i] @ position
     return rotations, translations
+
+
+def _splat_sprites(img, dep, idxs, u, v, z, radius, intensities, tex):
+    """Max-paste Gaussian sprites into one frame.
+
+    Bit-exact vectorization of the per-sprite loop this replaces (the loop
+    cost ~330 s for a 257-frame KITTI-sized bench scene on a 1-core host,
+    ~320 us of Python overhead per sprite x ~1M sprite-frames): the window
+    values for all sprites are precomputed in grouped [G, S, S] batches
+    (same elementwise float64 ops as the scalar loop, so identical bits),
+    then pasted with a thin rectangle loop in the original sprite order —
+    ordering only matters for the depth-map winner writes; float32 max
+    itself is order-free.
+
+    img: [H, W] float32 (mutated); dep: optional [H, W] float32 depth
+    (mutated); idxs: visible sprite indices, ascending; u/v/z/radius:
+    per-sprite float64 projections; tex: optional (k, phi, rk) texture
+    params.
+    """
+    height, width = img.shape
+    if idxs.size == 0:
+        return
+    r_all = np.maximum(radius[idxs], 0.7)
+    halves = np.ceil(3.0 * r_all).astype(np.int64)
+    x0s = np.trunc(u[idxs]).astype(np.int64) - halves
+    y0s = np.trunc(v[idxs]).astype(np.int64) - halves
+
+    # Precompute each sprite's [S, S] float64 value window, grouped by equal
+    # window size with a bounded element budget per batch.
+    values_list = [None] * idxs.size
+    order = np.argsort(halves, kind="stable")
+    pos = 0
+    while pos < order.size:
+        h = int(halves[order[pos]])
+        s = 2 * h + 1
+        end = pos
+        budget = 0
+        while end < order.size and halves[order[end]] == h and budget + s * s <= 2_000_000:
+            budget += s * s
+            end += 1
+        grp = order[pos:end]
+        pos = end
+        gi = idxs[grp]
+        offs = np.arange(s, dtype=np.float64)
+        wy = (y0s[grp][:, None] + offs[None, :]) - v[gi][:, None]  # [G, S]
+        wx = (x0s[grp][:, None] + offs[None, :]) - u[gi][:, None]
+        rr = np.maximum(radius[gi], 0.7)
+        d2 = (wy * wy)[:, :, None] + (wx * wx)[:, None, :]  # [G, S, S]
+        splat = np.exp(-d2 / (2.0 * rr * rr)[:, None, None])
+        if tex is not None:
+            tex_k, tex_phi, tex_rk = tex
+            ang = np.arctan2(wy[:, :, None], wx[:, None, :])
+            rad = np.sqrt(d2) / rr[:, None, None]
+            pattern = (
+                0.55 + 0.45 * np.cos(tex_k[gi][:, None, None] * ang + tex_phi[gi][:, None, None])
+            ) * (0.6 + 0.4 * np.cos(tex_rk[gi][:, None, None] * rad))
+            splat = splat * pattern
+        vals = 96.0 + (intensities[gi] - 96.0)[:, None, None] * splat
+        for j, v_arr in zip(grp, vals):
+            values_list[j] = v_arr
+
+    # Ordered rectangle paste (max against the accumulated image; depth-map
+    # winners recorded per sprite exactly as the scalar loop did).
+    for k in range(idxs.size):
+        h = int(halves[k])
+        s = 2 * h + 1
+        x0, y0 = int(x0s[k]), int(y0s[k])
+        sx0, sx1 = max(x0, 0), min(x0 + s, width)
+        sy0, sy1 = max(y0, 0), min(y0 + s, height)
+        if sx0 >= sx1 or sy0 >= sy1:
+            continue
+        vals = values_list[k][sy0 - y0 : sy1 - y0, sx0 - x0 : sx1 - x0]
+        region = img[sy0:sy1, sx0:sx1]
+        if dep is not None:
+            won = vals > region
+            dreg = dep[sy0:sy1, sx0:sx1]
+            dreg[won] = z[idxs[k]]
+        img[sy0:sy1, sx0:sx1] = np.maximum(region, vals)
 
 
 def render_sequence(
@@ -203,7 +282,7 @@ def render_sequence(
 
     frames = np.full((n_frames, height, width), 96.0, np.float32)
     depths = np.zeros((n_frames, height, width), np.float32) if render_depth else None
-    yy, xx = np.mgrid[0:height, 0:width].astype(np.float32)
+    tex = (tex_k, tex_phi, tex_rk) if textured else None
     for f in range(n_frames):
         p_cam = points @ rotations[f].T + translations[f]
         z = p_cam[:, 2]
@@ -213,32 +292,12 @@ def render_sequence(
         radius = cam.fx * sizes / z
         inside = vis & (u > -10) & (u < width + 10) & (v > -10) & (v < height + 10)
         img = frames[f]
-        for idx in np.nonzero(inside)[0]:
-            r = max(float(radius[idx]), 0.7)
-            half = int(np.ceil(3 * r))
-            x0, x1 = int(u[idx]) - half, int(u[idx]) + half + 1
-            y0, y1 = int(v[idx]) - half, int(v[idx]) + half + 1
-            sx0, sx1 = max(x0, 0), min(x1, width)
-            sy0, sy1 = max(y0, 0), min(y1, height)
-            if sx0 >= sx1 or sy0 >= sy1:
-                continue
-            wy = yy[sy0:sy1, sx0:sx1] - v[idx]
-            wx = xx[sy0:sy1, sx0:sx1] - u[idx]
-            splat = np.exp(-(wx * wx + wy * wy) / (2.0 * r * r))
-            if textured:
-                ang = np.arctan2(wy, wx)
-                rad = np.sqrt(wx * wx + wy * wy) / r
-                pattern = (0.55 + 0.45 * np.cos(tex_k[idx] * ang + tex_phi[idx])) * (
-                    0.6 + 0.4 * np.cos(tex_rk[idx] * rad)
-                )
-                splat = splat * pattern
-            values = 96.0 + (intensities[idx] - 96.0) * splat
-            region = img[sy0:sy1, sx0:sx1]
-            if depths is not None:
-                won = values > region
-                dreg = depths[f, sy0:sy1, sx0:sx1]
-                dreg[won] = z[idx]
-            img[sy0:sy1, sx0:sx1] = np.maximum(region, values)
+        _splat_sprites(
+            img,
+            depths[f] if depths is not None else None,
+            np.nonzero(inside)[0],
+            u, v, z, radius, intensities, tex,
+        )
         if noise:
             img += rng.normal(0.0, noise, img.shape).astype(np.float32)
 
@@ -259,3 +318,86 @@ def render_sequence(
         intrinsics=cam,
         depths=depths,
     )
+
+
+_RENDER_VERSION = 1  # bump when render math changes (invalidates disk caches)
+
+
+def render_sequence_cached(cache_dir: str = None, **kwargs) -> SyntheticScene:
+    """`render_sequence` with a disk cache keyed by the full parameter set.
+
+    Rendering is host-CPU-bound (~minutes for a bench-sized 257-frame
+    KITTI-resolution scene on a 1-core host even vectorized — numpy's exp
+    runs ~1 us/element there), but it is exactly reproducible: same
+    parameters + same renderer version => identical bits. Benchmarks render
+    once per machine and reload in ~2 s afterwards. Cache misses fall back
+    to a full render and then populate the cache atomically (tmp + rename),
+    so a killed run never leaves a truncated entry.
+
+    cache_dir defaults to <repo>/.scene_cache (gitignored).
+    """
+    import hashlib
+    import json
+    import os
+    import tempfile
+
+    key_src = json.dumps(
+        {
+            "v": _RENDER_VERSION,
+            "np": np.__version__,
+            **{
+                k: (dataclasses.asdict(v) if dataclasses.is_dataclass(v) else list(v) if isinstance(v, tuple) else v)
+                for k, v in sorted(kwargs.items())
+            },
+        },
+        sort_keys=True,
+    )
+    key = hashlib.sha256(key_src.encode()).hexdigest()[:20]
+    if cache_dir is None:
+        cache_dir = os.path.join(os.path.dirname(__file__), "..", "..", ".scene_cache")
+    cache_dir = os.path.abspath(cache_dir)
+    path = os.path.join(cache_dir, f"scene_{key}.npz")
+
+    if os.path.exists(path):
+        try:
+            with np.load(path, allow_pickle=False) as data:
+                cam = CameraIntrinsics(*[float(x) for x in data["intrinsics"]])
+                return SyntheticScene(
+                    frames=data["frames"],
+                    rotations=data["rotations"],
+                    translations=data["translations"],
+                    rel_rotations=data["rel_rotations"],
+                    rel_translations=data["rel_translations"],
+                    points=data["points"],
+                    intrinsics=cam,
+                    depths=data["depths"] if "depths" in data.files else None,
+                )
+        except Exception:
+            os.unlink(path)  # corrupt entry: re-render below
+
+    scene = render_sequence(**kwargs)
+    os.makedirs(cache_dir, exist_ok=True)
+    arrays = dict(
+        frames=scene.frames,
+        rotations=scene.rotations,
+        translations=scene.translations,
+        rel_rotations=scene.rel_rotations,
+        rel_translations=scene.rel_translations,
+        points=scene.points,
+        intrinsics=np.array(
+            [scene.intrinsics.fx, scene.intrinsics.fy, scene.intrinsics.cx, scene.intrinsics.cy],
+            np.float64,
+        ),
+    )
+    if scene.depths is not None:
+        arrays["depths"] = scene.depths
+    fd, tmp = tempfile.mkstemp(dir=cache_dir, suffix=".npz.tmp")
+    try:
+        with os.fdopen(fd, "wb") as f:
+            np.savez(f, **arrays)
+        os.replace(tmp, path)
+    except BaseException:
+        if os.path.exists(tmp):
+            os.unlink(tmp)
+        raise
+    return scene
