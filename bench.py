@@ -318,15 +318,22 @@ def _secondary_metrics(jax, frames, cam, config, blocks, keys, chunk, force, log
         for i in range(3)
     ]
     clips = [jnp.repeat(c[..., None], 3, axis=-1) for c in clips]
-    force(model._forward(model.encoder_vars, model.decoder_vars, clips[0]))
-    t0 = time.time()
-    outs = [model._forward(model.encoder_vars, model.decoder_vars, c) for c in clips]
-    for o in outs:
-        force(o)
-    ms_depth = (time.time() - t0) / (len(clips) * depth_batch) * 1000
+    def time_depth(m):
+        # Median of per-clip samples (one dispatch+fetch each): robust to
+        # tunnel jitter, same posture as the ORB/BA samples above.
+        force(m._forward(m.encoder_vars, m.decoder_vars, clips[0]))
+        samples = []
+        for c in clips:
+            t0 = time.time()
+            force(m._forward(m.encoder_vars, m.decoder_vars, c))
+            samples.append((time.time() - t0) / depth_batch * 1000)
+        return float(np.median(samples)), samples
+
+    ms_depth, samples = time_depth(model)
     log(
         f"secondary: MonoDepth2 {ms_depth:.2f} ms/frame "
-        f"(batch {depth_batch}, 640x192, scale-0 disparity)"
+        f"(batch {depth_batch}, 640x192, scale-0 disparity; "
+        f"samples {', '.join(f'{s:.1f}' for s in samples)})"
     )
 
     # bf16 inference mode (the TPU recipe; accuracy parity in test_depth.py).
@@ -335,15 +342,11 @@ def _secondary_metrics(jax, frames, cam, config, blocks, keys, chunk, force, log
         decoder_vars=model.decoder_vars,
         compute_dtype=jnp.bfloat16,
     )
-    force(model16._forward(model16.encoder_vars, model16.decoder_vars, clips[0]))
-    t0 = time.time()
-    outs = [model16._forward(model16.encoder_vars, model16.decoder_vars, c) for c in clips]
-    for o in outs:
-        force(o)
-    ms16 = (time.time() - t0) / (len(clips) * depth_batch) * 1000
+    ms16, samples16 = time_depth(model16)
     log(
         f"secondary: MonoDepth2 bf16 {ms16:.2f} ms/frame "
-        f"({ms_depth / max(ms16, 1e-9):.2f}x vs f32)"
+        f"({ms_depth / max(ms16, 1e-9):.2f}x vs f32; "
+        f"samples {', '.join(f'{s:.1f}' for s in samples16)})"
     )
 
 
