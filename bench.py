@@ -124,7 +124,16 @@ def main():
     step = jax.jit(vo_chunk, static_argnames=("config",))
 
     n_pairs = t_total - 1
-    keys = jax.random.split(jax.random.PRNGKey(0), n_pairs)
+    # Multiple measurement passes over the same steady-state chunks shrink
+    # tunnel-jitter variance (a single pass times only ~0.4 s of work, so one
+    # slow dispatch moves the headline by 20%). Each pass uses a DIFFERENT
+    # PRNG seed: the runtime memoizes identical executions, so a verbatim
+    # repeat would measure dispatch only.
+    n_passes = max(int(os.environ.get("BENCH_PASSES", "2")), 1)
+    pass_keys = [
+        jax.random.split(jax.random.PRNGKey(p), n_pairs) for p in range(n_passes)
+    ]
+    keys = pass_keys[0]
 
     feats0 = jax.tree_util.tree_map(
         lambda x: x[0], detect_and_compute(frames[:1], config.orb)
@@ -154,24 +163,27 @@ def main():
         blocks = [jax.device_put(b) for b in blocks]
         force(blocks[-1][0, 0])  # wait until resident
 
+    carry_w = carry  # post-warmup carry: every pass restarts from here
     t0 = time.time()
     done_frames = 0
     results = []
-    pending = None if preplaced else jax.device_put(blocks[0])
-    for i in range(n_steady):
-        block = blocks[i] if preplaced else pending
-        if not preplaced and i + 1 < n_steady:
-            pending = jax.device_put(blocks[i + 1])  # prefetch next chunk
-        start = chunk + i * chunk
-        carry, res = step(
-            carry[0], carry[1], carry[2],
-            block,
-            keys[start : start + chunk],
-            cam,
-            config,
-        )
-        results.append(res)
-        done_frames += chunk
+    for p in range(n_passes):
+        carry = carry_w
+        pending = None if preplaced else jax.device_put(blocks[0])
+        for i in range(n_steady):
+            block = blocks[i] if preplaced else pending
+            if not preplaced and i + 1 < n_steady:
+                pending = jax.device_put(blocks[i + 1])  # prefetch next chunk
+            start = chunk + i * chunk
+            carry, res = step(
+                carry[0], carry[1], carry[2],
+                block,
+                pass_keys[p][start : start + chunk],
+                cam,
+                config,
+            )
+            results.append(res)
+            done_frames += chunk
     force(results[-1].success)  # fetch = true execution barrier
     elapsed = time.time() - t0
     fps = done_frames / elapsed
@@ -183,7 +195,10 @@ def main():
     # summary, examples/visual_odometry.rs:224-239).
     success_all = np.concatenate([force(r.success) for r in results])
     rot_all = np.concatenate([force(r.rotations) for r in results])
-    gt_rot = scene.rel_rotations[chunk : chunk + done_frames]
+    per_pass = n_steady * chunk
+    gt_rot = np.tile(
+        scene.rel_rotations[chunk : chunk + per_pass], (n_passes, 1, 1)
+    )
     tr = np.einsum("tij,tij->t", rot_all, gt_rot)  # trace(R_est @ R_gt^T)
     rot_err_deg = np.degrees(np.arccos(np.clip((tr - 1.0) / 2.0, -1.0, 1.0)))
     ok = success_all.astype(bool)
@@ -410,5 +425,32 @@ def _flagship_metric(jax, frames, cam, chunk, force, log):
         raise SystemExit(1)
 
 
+def _run_with_retry():
+    """Retry once (via re-exec) if the TPU worker crashes mid-run.
+
+    The tunneled TPU worker occasionally dies with UNAVAILABLE ("worker
+    process crashed or restarted") or INTERNAL backend errors — observed
+    when a second process touches the chip, and after libtpu mid-flight
+    upgrades. The failure poisons the in-process backend, so recovery needs
+    a fresh process: sleep until the worker reinitializes, then re-exec.
+    The persistent compile cache makes the retry cheap. Validation failures
+    (SystemExit) are NOT retried — those are real."""
+    try:
+        main()
+    except Exception as e:  # noqa: BLE001 — classify by message, see below
+        name = type(e).__name__
+        msg = f"{name}: {e}"
+        transient = ("UNAVAILABLE" in msg or "INTERNAL" in msg) and (
+            "JaxRuntimeError" in name or "XlaRuntimeError" in name
+        )
+        if not transient or os.environ.get("BENCH_RETRIED") == "1":
+            raise
+        log(f"bench: transient TPU backend failure ({msg.splitlines()[0]}); "
+            "waiting for worker recovery and retrying once")
+        time.sleep(150)  # worker reinit takes ~2-5 min after a crash
+        env = dict(os.environ, BENCH_RETRIED="1")
+        os.execve(sys.executable, [sys.executable, os.path.abspath(__file__)], env)
+
+
 if __name__ == "__main__":
-    main()
+    _run_with_retry()
