@@ -21,10 +21,14 @@ B = 32
 
 
 def _sync(out):
+    # Fetch ONE element of ONE leaf: outputs of an execution materialize
+    # together, so a single fetch barriers the whole program. Fetching every
+    # leaf costs a ~10-40 ms tunnel round trip EACH and swamps the compute
+    # being measured (a many-leaf stage read 80+ ms/frame of pure fetches).
     import jax
 
-    for leaf in jax.tree_util.tree_leaves(out):
-        np.asarray(leaf.ravel()[:1])
+    leaf = jax.tree_util.tree_leaves(out)[0]
+    np.asarray(leaf.ravel()[:1])
 
 
 def timeit(name, fn, variants):
