@@ -333,14 +333,22 @@ def _secondary_metrics(jax, frames, cam, config, blocks, keys, chunk, force, log
         for i in range(3)
     ]
     clips = [jnp.repeat(c[..., None], 3, axis=-1) for c in clips]
+    def sync1(x):
+        # Single-element fetch: barriers the execution without paying the
+        # full-output transfer. Fetching the whole [8, 192, 640] disparity
+        # stack costs ~100 ms through the ~40 MB/s tunnel (~12 ms/frame of
+        # pure fetch — 3x the actual inference time), which production PCIe
+        # makes negligible and is not the subsystem under test.
+        return np.asarray(x.ravel()[:1])
+
     def time_depth(m):
-        # Median of per-clip samples (one dispatch+fetch each): robust to
-        # tunnel jitter, same posture as the ORB/BA samples above.
-        force(m._forward(m.encoder_vars, m.decoder_vars, clips[0]))
+        # Median of per-clip samples (one dispatch + single-element sync
+        # each): robust to tunnel jitter, same posture as the ORB/BA samples.
+        sync1(m._forward(m.encoder_vars, m.decoder_vars, clips[0]))
         samples = []
         for c in clips:
             t0 = time.time()
-            force(m._forward(m.encoder_vars, m.decoder_vars, c))
+            sync1(m._forward(m.encoder_vars, m.decoder_vars, c))
             samples.append((time.time() - t0) / depth_batch * 1000)
         return float(np.median(samples)), samples
 
