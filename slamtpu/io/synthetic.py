@@ -144,7 +144,15 @@ def _splat_sprites(img, dep, idxs, u, v, z, radius, intensities, tex):
         s = 2 * h + 1
         end = pos
         budget = 0
-        while end < order.size and halves[order[end]] == h and budget + s * s <= 2_000_000:
+        # `end == pos` always admits at least one sprite per group: a single
+        # window above the element budget (radius > ~236 px, e.g. a sprite
+        # right in front of the camera at KITTI focal lengths) must form its
+        # own batch, not spin this loop forever.
+        while (
+            end < order.size
+            and halves[order[end]] == h
+            and (end == pos or budget + s * s <= 2_000_000)
+        ):
             budget += s * s
             end += 1
         grp = order[pos:end]
@@ -337,17 +345,24 @@ def render_sequence_cached(cache_dir: str = None, **kwargs) -> SyntheticScene:
     cache_dir defaults to <repo>/.scene_cache (gitignored).
     """
     import hashlib
+    import inspect
     import json
     import os
     import tempfile
 
+    # Key on render_sequence's RESOLVED parameter set (defaults filled in),
+    # so changing a default invalidates stale cache entries automatically
+    # instead of relying on a manual _RENDER_VERSION bump.
+    bound = inspect.signature(render_sequence).bind(**kwargs)
+    bound.apply_defaults()
+    resolved = bound.arguments
     key_src = json.dumps(
         {
             "v": _RENDER_VERSION,
             "np": np.__version__,
             **{
                 k: (dataclasses.asdict(v) if dataclasses.is_dataclass(v) else list(v) if isinstance(v, tuple) else v)
-                for k, v in sorted(kwargs.items())
+                for k, v in sorted(resolved.items())
             },
         },
         sort_keys=True,

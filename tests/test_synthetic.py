@@ -137,3 +137,20 @@ def test_render_sequence_basic_properties():
         t = scene.rel_rotations[i] @ t + scene.rel_translations[i]
     np.testing.assert_allclose(r, scene.rotations[3], atol=1e-12)
     np.testing.assert_allclose(t, scene.translations[3], atol=1e-12)
+
+
+def test_oversized_sprite_terminates():
+    """A single sprite whose window exceeds the splatter's 2M-element batch
+    budget (radius > ~236 px — e.g. a near-camera sprite at KITTI focal
+    lengths) used to spin the grouping loop forever; it must now render in
+    its own batch."""
+    from slamtpu.io.synthetic import _splat_sprites
+
+    img = np.full((120, 160), 96.0, np.float32)
+    u = np.array([80.0])
+    v = np.array([60.0])
+    z = np.array([1.0])
+    radius = np.array([300.0])  # half = 900, window 1801^2 > 2M elements
+    intensities = np.array([255.0])
+    _splat_sprites(img, None, np.array([0]), u, v, z, radius, intensities, None)
+    assert img[60, 80] > 200.0  # the sprite actually landed
