@@ -39,6 +39,12 @@ def main(argv=None):
         "--rerun-save", metavar="PATH", help="write the Rerun log to a .rrd file"
     )
     parser.add_argument(
+        "--global-ba", action="store_true",
+        help="finish with one global bundle adjustment over all keyframes "
+        "and observations (landmark-chunked Schur; beyond the reference's "
+        "windowed-only refinement)",
+    )
+    parser.add_argument(
         "--fused", action="store_true",
         help="run the scan-fused phase 2 (one device program per chunk; "
         "fastest path, but incompatible with --rerun's per-keyframe logging)",
@@ -99,6 +105,16 @@ def main(argv=None):
             resume_from=args.resume, rerun_logger=rerun_logger,
         )
     elapsed = time.time() - start
+
+    if args.global_ba:
+        from ..pipeline.point_cloud import run_global_ba
+
+        t0 = time.time()
+        result, err_before, err_after = run_global_ba(result, cam)
+        print(
+            f"Global BA: reprojection error {err_before:.1f} -> {err_after:.1f} "
+            f"({time.time() - t0:.2f}s)"
+        )
 
     # Summary mirroring point_cloud.rs:497-510.
     print("\nSummary")

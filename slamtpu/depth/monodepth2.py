@@ -12,8 +12,9 @@ Matching the reference's observable behavior:
     4-scale decoder output (:60-201 takes index 0), min-max normalized to
     [0, 1] (:206-251), at the model's 192x640 resolution;
   * predict_colored() normalizes by [min, 95th percentile] and maps through
-    the magma colormap (:262-333; the reference reads a magma.png LUT — we
-    take the same 256-entry table from matplotlib).
+    the magma colormap (:262-333), byte-exact: the reference's 728-entry
+    magma.png LUT is embedded (magma_lut.npz) and the index/percentile
+    arithmetic matches the Rust loop operation-for-operation.
 """
 
 from __future__ import annotations
@@ -33,15 +34,15 @@ __all__ = ["MonoDepth2"]
 
 @functools.lru_cache()
 def _magma_lut():
-    """256x3 uint8 magma table (the reference's magma.png is the same map)."""
-    try:
-        import matplotlib.cm as cm
+    """728x3 uint8 RGB magma table, byte-identical to the reference's shipped
+    magma.png (src/depth/magma.png, consumed at monodepth2.rs:271-276). The
+    pixel values are embedded as magma_lut.npz so `predict_colored` output is
+    byte-compatible with the reference's saved visualizations — the same
+    parity standard the PLY/JSON exporters hold."""
+    import os
 
-        lut = (np.asarray(cm.magma(np.linspace(0, 1, 256)))[:, :3] * 255).astype(np.uint8)
-        return lut
-    except ImportError:  # pragma: no cover — grayscale fallback
-        ramp = np.arange(256, dtype=np.uint8)
-        return np.stack([ramp] * 3, axis=1)
+    path = os.path.join(os.path.dirname(__file__), "magma_lut.npz")
+    return np.load(path)["lut"]
 
 
 class MonoDepth2:
@@ -139,11 +140,27 @@ class MonoDepth2:
         return (disp - lo) / jnp.maximum(hi - lo, 1e-12)
 
     def predict_colored(self, image):
-        """uint8 RGB magma visualization with 95th-percentile normalization
-        (monodepth2.rs:262-333)."""
-        disp = self.predict_raw(image)
-        lo = jnp.min(disp, axis=(-2, -1), keepdims=True)
-        hi = jnp.percentile(disp, 95.0, axis=(-2, -1), keepdims=True)
-        norm = jnp.clip((disp - lo) / jnp.maximum(hi - lo, 1e-12), 0.0, 1.0)
-        idx = np.asarray(jnp.round(norm * 255).astype(jnp.int32))
-        return _magma_lut()[idx]
+        """uint8 RGB magma visualization, byte-exact to the reference's
+        (monodepth2.rs:262-333): vmin = min, vmax = sorted values at index
+        floor(0.95 * count) (an index percentile, NOT an interpolated one),
+        degenerate range -> 1.0, and LUT index = trunc(normalized * 727)
+        through the embedded 728-entry magma table."""
+        disp = np.asarray(self.predict_raw(image))
+        batched = disp.ndim == 3
+        flat = disp.reshape(disp.shape[0] if batched else 1, -1)
+        vmin = flat.min(axis=-1)
+        srt = np.sort(flat, axis=-1)
+        p95_idx = min(int(flat.shape[-1] * 0.95), flat.shape[-1] - 1)
+        vmax = srt[:, p95_idx]
+        rng = vmax - vmin
+        rng = np.where(rng < 1e-8, 1.0, rng)
+        shape = (-1, 1, 1) if batched else (-1, 1)
+        if not batched:
+            vmin, rng = vmin[0], rng[0]
+        else:
+            vmin, rng = vmin.reshape(shape), rng.reshape(shape)
+        lut = _magma_lut()
+        n = lut.shape[0]
+        norm = np.clip((disp - vmin) / rng, 0.0, 1.0)
+        idx = np.clip((norm * (n - 1)).astype(np.int32), 0, n - 1)
+        return lut[idx]

@@ -3,9 +3,11 @@
 TPU-native counterpart of /root/reference/src/mapping/bundle_adjustment.rs —
 the reference's one hand-written native solver. The per-observation HashMap
 block assembly (:204-256) becomes vmapped residual/Jacobian math +
-`segment_sum` into [P,6,6]/[L,3,3] block diagonals and a dense [P,L,6,3]
-pose-landmark coupling tensor; the Schur reduction and back-substitution
-(:258-362) become einsums; the LM loop is a `lax.while_loop` with fixed
+`segment_sum` into [P,6,6]/[L,3,3] block diagonals and per-observation
+[M,6,3] coupling blocks; the Schur reduction streams over landmark chunks
+(one MXU matmul per chunk — peak memory is independent of landmark count,
+see `ba_solve(landmark_chunk=...)`) and back-substitution is O(M)
+segment_sums (:258-362); the LM loop is a `lax.while_loop` with fixed
 maximum iterations.
 
 Deliberate fixes over the reference (SURVEY.md §2/§3.2 says fix, then verify
@@ -156,12 +158,15 @@ def ba_solve(
     config: BaConfig = BaConfig(),
     fix_first_pose: bool = True,
     pose_mask=None,
+    landmark_chunk: int = 2048,
 ):
     """Run LM with Schur elimination. Returns (rotations, translations,
     points, final_error, iterations_run).
 
     pose_mask [P] bool: poses whose parameters may move (local BA freezes
     out-of-window poses); None = all free (except the gauge fix).
+    landmark_chunk: landmarks per Schur-assembly chunk (static); bounds peak
+    memory at O(P * landmark_chunk * 18) floats regardless of problem size.
     All inputs are promoted to a common float dtype; f64 recommended on CPU,
     f32 works on TPU for the problem scales the reference targets. All
     contractions run at true f32 precision (`_f32_precision`): Schur
@@ -246,16 +251,19 @@ def ba_solve(
         b_l = -jax.ops.segment_sum(
             jnp.einsum("mai,ma->mi", wj_point, residual), obs.pt_idx, n_points
         )  # [L, 3]
-        w_pl = (
-            jnp.zeros((n_poses, n_points, 6, 3), dtype)
-            .at[obs.kf_idx, obs.pt_idx]
-            .add(jnp.einsum("mai,maj->mij", wj_pose, j_point))
-        )  # [P, L, 6, 3]
+        # Per-observation pose-landmark coupling block W_m = (wJ_pose)^T
+        # J_point [M, 6, 3]. The full coupling W[i,j] = sum of U_m over
+        # observations (pose i, landmark j) is NEVER materialized as a dense
+        # [P, L, 6, 3] tensor (round-2 scaling cap: 250 poses x 16k landmarks
+        # made each Schur einsum operand ~300 MB); everything downstream needs
+        # only O(M) per-observation contractions plus a landmark-CHUNKED dense
+        # assembly for the Schur product (see below).
+        u_pl = jnp.einsum("mai,maj->mij", wj_pose, j_point)  # [M, 6, 3]
 
         # Freeze out-of-window poses: zero their Jacobian contributions.
         h_pp = jnp.where(free[:, None, None], h_pp, 0.0)
         b_p = jnp.where(free[:, None], b_p, 0.0)
-        w_pl = jnp.where(free[:, None, None, None], w_pl, 0.0)
+        u_pl = u_pl * free[obs.kf_idx][:, None, None]
 
         # Batched 3x3 inverse. The reference substitutes 1e6*I for singular
         # blocks (:282-284) — catastrophic when the block is merely
@@ -266,12 +274,49 @@ def ba_solve(
         h_ll_damped = h_ll + lam_damp * jnp.eye(3, dtype=dtype)
         h_ll_inv = jnp.linalg.inv(h_ll_damped)
 
-        # Schur reduction (full, with pose-pose coupling).
-        t_pl = jnp.einsum("pjab,jbc->pjac", w_pl, h_ll_inv)  # [P, L, 6, 3]
-        s_off = jnp.einsum("pjac,qjdc->pqad", t_pl, w_pl)  # [P, P, 6, 6]
+        # Schur reduction (full, with pose-pose coupling), block-sparse in
+        # memory. The reference assembles sparse blocks into a HashMap
+        # (bundle_adjustment.rs:258-308); the TPU-native equivalent streams
+        # over landmark chunks: each chunk scatters its observations into a
+        # small dense W_c [P, Lc, 6, 3] and the chunk's Schur contribution is
+        # ONE MXU matmul [P*6, Lc*3] @ [Lc*3, P*6]. Peak memory is
+        # O(P*Lc*18 + P^2*36) independent of total landmark count; FLOPs are
+        # O(P^2 * L), which the MXU eats in milliseconds at the scales the
+        # flagship and global BA run (<=256 poses x 16k landmarks).
+        lc = min(n_points, landmark_chunk)
+        n_chunks = -(-n_points // lc)
+        l_pad = n_chunks * lc
+        # Zero-padding h_ll_inv makes padded landmarks contribute exactly
+        # nothing (their W_c columns are zero anyway — double safety).
+        h_ll_inv_pad = jnp.zeros((l_pad, 3, 3), dtype).at[:n_points].set(h_ll_inv)
+
+        def schur_chunk(c, s_acc):
+            base = c * lc
+            local = obs.pt_idx - base
+            # Out-of-chunk observations are routed to row Lc and dropped.
+            safe = jnp.where((local >= 0) & (local < lc), local, lc)
+            w_c = (
+                jnp.zeros((n_poses, lc, 6, 3), dtype)
+                .at[obs.kf_idx, safe]
+                .add(u_pl, mode="drop")
+            )
+            hinv_c = jax.lax.dynamic_slice(h_ll_inv_pad, (base, 0, 0), (lc, 3, 3))
+            t_c = jnp.einsum("pjab,jbc->pjac", w_c, hinv_c)
+            t_mat = t_c.transpose(0, 2, 1, 3).reshape(n_poses * 6, lc * 3)
+            w_mat = w_c.transpose(0, 2, 1, 3).reshape(n_poses * 6, lc * 3)
+            s_c = (t_mat @ w_mat.T).reshape(n_poses, 6, n_poses, 6)
+            return s_acc + s_c.transpose(0, 2, 1, 3)
+
+        s_off = jax.lax.fori_loop(
+            0, n_chunks, schur_chunk, jnp.zeros((n_poses, n_poses, 6, 6), dtype)
+        )
         s = -s_off
         s = s.at[jnp.arange(n_poses), jnp.arange(n_poses)].add(h_pp)
-        b_red = b_p - jnp.einsum("pjac,jc->pa", t_pl, b_l)  # [P, 6]
+        # Reduced RHS, O(M): b_p[i] - sum_m U_m (Hll^-1 b_l)[lm(m)].
+        hinv_bl = jnp.einsum("jbc,jc->jb", h_ll_inv, b_l)  # [L, 3]
+        b_red = b_p - jax.ops.segment_sum(
+            jnp.einsum("mab,mb->ma", u_pl, hinv_bl[obs.pt_idx]), obs.kf_idx, n_poses
+        )  # [P, 6]
 
         # Gauge fix: pose 0 pinned exactly.
         if fix_first_pose:
@@ -299,8 +344,10 @@ def ba_solve(
         new_rot = jnp.einsum("pij,pjk->pik", so3_exp(delta_p[:, :3]), rotations)
         new_trans = translations + delta_p[:, 3:]
 
-        # Point back-substitution: dx = Hll^-1 (b_l - W^T dp) (:342-362).
-        wtd = jnp.einsum("pjab,pa->jb", w_pl, delta_p)
+        # Point back-substitution, O(M): dx = Hll^-1 (b_l - W^T dp) (:342-362).
+        wtd = jax.ops.segment_sum(
+            jnp.einsum("mab,ma->mb", u_pl, delta_p[obs.kf_idx]), obs.pt_idx, n_points
+        )  # [L, 3]
         delta_x = jnp.einsum("jbc,jc->jb", h_ll_inv, b_l - wtd)
         # Points with no (free) observations must not move.
         observed = jax.ops.segment_sum(w, obs.pt_idx, n_points) > 0

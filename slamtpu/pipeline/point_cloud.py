@@ -60,6 +60,7 @@ __all__ = [
     "PointCloudResult",
     "run_point_cloud",
     "run_point_cloud_fused",
+    "run_global_ba",
 ]
 
 
@@ -398,11 +399,10 @@ def _ba_window_solve(
     """Jitted windowed-BA step on COMPACT static shapes.
 
     The window's poses ([P_w]) and its observed-landmark subset ([L_w],
-    gathered from the full map by slot) are the whole problem — the dense
-    pose-landmark coupling inside ba_solve is [P_w, L_w, 6, 3] regardless of
-    total keyframe count or map capacity, and this function compiles once per
-    (ba_config, fix_first_pose). Optimized landmarks scatter back into the
-    full positions array.
+    gathered from the full map by slot) are the whole problem — the solve
+    size is independent of total keyframe count or map capacity, and this
+    function compiles once per (ba_config, fix_first_pose). Optimized
+    landmarks scatter back into the full positions array.
     """
     pts_w = positions[slots].astype(rot_w.dtype)
     obs = ObservationBatch(kf_idx, pt_idx, pixels, obs_mask)
@@ -510,6 +510,85 @@ def _run_window_ba(
         kf_rots[start_idx + j] = new_rot[j]
         kf_trans[start_idx + j] = new_trans[j]
     return map_state, kf_rots, kf_trans, True
+
+
+def run_global_ba(
+    result: "PointCloudResult",
+    intrinsics: CameraIntrinsics,
+    ba_config: BaConfig | None = None,
+    landmark_chunk: int = 2048,
+):
+    """Global bundle adjustment over ALL keyframes and logged observations.
+
+    The reference caps itself at windowed refinement (its dense-ish solver and
+    the discarded results at the call site, point_cloud.rs:309-371); this runs
+    one joint LM solve over the full trajectory using the landmark-chunked
+    Schur assembly in ba_solve — peak memory O(P * landmark_chunk) floats, so
+    250+ poses x 16k landmarks x 100k+ observations fits comfortably on chip.
+
+    Returns (new_result, error_before, error_after) where the errors are the
+    total Huber reprojection error over the retained observations.
+    """
+    from ..mapping.bundle_adjustment import compute_total_error
+
+    obs_kf, obs_pt, obs_px, obs_id = result.observations
+    if len(obs_kf) == 0 or result.keyframe_rotations.shape[0] < 3:
+        return result, 0.0, 0.0
+
+    ids_np = np.asarray(result.map_state.ids)
+    valid_np = np.asarray(result.map_state.valid)
+    obs_kf = np.asarray(obs_kf, np.int32)
+    obs_pt = np.asarray(obs_pt, np.int32)
+    obs_px = np.asarray(obs_px, np.float32).reshape(-1, 2)
+    obs_id = np.asarray(obs_id, np.int32)
+
+    # Drop observations whose map slot was pruned or recycled to a different
+    # landmark since recording (same rule as the windowed paths).
+    ok = valid_np[obs_pt] & (ids_np[obs_pt] == obs_id)
+    obs_kf, obs_pt, obs_px = obs_kf[ok], obs_pt[ok], obs_px[ok]
+    if obs_kf.size == 0:
+        return result, 0.0, 0.0
+
+    # Compact landmarks to the observed subset.
+    uniq_slots, pt_idx = np.unique(obs_pt, return_inverse=True)
+    points = np.asarray(result.map_state.positions)[uniq_slots]
+
+    rot = np.asarray(result.keyframe_rotations, np.float32)
+    trans = np.asarray(result.keyframe_translations, np.float32)
+    # Gauge + monocular scale anchor: freeze the two oldest keyframes (same
+    # rationale as the windowed solves).
+    pose_mask = np.ones(rot.shape[0], bool)
+    pose_mask[:2] = False
+
+    obs = ObservationBatch(
+        jnp.asarray(obs_kf), jnp.asarray(pt_idx.astype(np.int32)),
+        jnp.asarray(obs_px), jnp.ones((obs_kf.size,), bool),
+    )
+    cfg = ba_config or BaConfig()
+    err_before = float(
+        compute_total_error(
+            intrinsics, jnp.asarray(rot), jnp.asarray(trans),
+            jnp.asarray(points.astype(np.float32)), obs, cfg.huber_delta,
+        )
+    )
+    new_rot, new_trans, new_pts, err_after, _ = ba_solve(
+        intrinsics,
+        jnp.asarray(rot), jnp.asarray(trans),
+        jnp.asarray(points.astype(np.float32)),
+        obs, cfg, fix_first_pose=False, pose_mask=jnp.asarray(pose_mask),
+        landmark_chunk=landmark_chunk,
+    )
+
+    positions = np.asarray(result.map_state.positions).copy()
+    positions[uniq_slots] = np.asarray(new_pts, positions.dtype)
+    new_result = dataclasses.replace(
+        result,
+        map_state=result.map_state._replace(positions=positions),
+        keyframe_rotations=np.asarray(new_rot),
+        keyframe_translations=np.asarray(new_trans),
+        ba_runs=result.ba_runs + 1,
+    )
+    return new_result, err_before, float(err_after)
 
 
 # ---------------------------------------------------------------------------

@@ -179,3 +179,79 @@ def test_out_of_range_observation_ignored(cam):
     )
     err = compute_total_error(CameraIntrinsics(500.0, 500.0, 320.0, 240.0), rot, trans, pts, obs)
     assert float(err) < 1e-9  # masked bogus observation contributes nothing
+
+
+def test_landmark_chunked_schur_matches_unchunked(rng):
+    """The chunked Schur assembly is algebraically identical to a single
+    chunk covering all landmarks — solutions must agree to float tolerance."""
+    cam, _, _, noisy_poses, noisy_points, observations = make_ba_problem(
+        rng, n_poses=5, n_points=23
+    )
+    rot = jnp.asarray(np.stack([p[0] for p in noisy_poses]))
+    trans = jnp.asarray(np.stack([p[1] for p in noisy_poses]))
+    pts = jnp.asarray(np.stack(noisy_points))
+    obs = ObservationBatch.from_list(observations)
+    outs = {}
+    for chunk in (7, 23, 64):  # uneven split, exact fit, single oversize chunk
+        r, t, x, err, it = ba_solve(
+            cam, rot, trans, pts, obs, landmark_chunk=chunk
+        )
+        outs[chunk] = (np.asarray(r), np.asarray(t), np.asarray(x), float(err))
+    for chunk in (7, 23):
+        np.testing.assert_allclose(outs[chunk][0], outs[64][0], atol=1e-8)
+        np.testing.assert_allclose(outs[chunk][1], outs[64][1], atol=1e-8)
+        np.testing.assert_allclose(outs[chunk][2], outs[64][2], atol=1e-8)
+        assert abs(outs[chunk][3] - outs[64][3]) < 1e-6
+
+
+def test_global_scale_ba_memory_bounded(rng):
+    """A global-BA-shaped problem far beyond the old dense coupling's reach:
+    the dense [P, L, 6, 3] tensor alone would be P*L*18*8 bytes (~7.4 GB at
+    this size in f64); the chunked path peaks at O(P * chunk). Run two LM
+    iterations and require the error to drop."""
+    n_poses, n_points, obs_per_pose = 128, 8192, 400
+    cam = CameraIntrinsics(500.0, 500.0, 320.0, 240.0)
+    gt_points = np.stack(
+        [
+            rng.uniform(-30, 30, n_points),
+            rng.uniform(-5, 5, n_points),
+            rng.uniform(5, 60, n_points),
+        ],
+        1,
+    )
+    kf, pt, px = [], [], []
+    for i in range(n_poses):
+        t = np.array([0.3 * i, 0.0, 0.0])
+        r = np.eye(3)
+        js = rng.choice(n_points, obs_per_pose, replace=False)
+        for j in js:
+            p = r @ gt_points[j] + t
+            if p[2] < 1.0:
+                continue
+            kf.append(i)
+            pt.append(j)
+            px.append(
+                [cam.fx * p[0] / p[2] + cam.cx, cam.fy * p[1] / p[2] + cam.cy]
+            )
+    obs = ObservationBatch(
+        jnp.asarray(kf, jnp.int32),
+        jnp.asarray(pt, jnp.int32),
+        jnp.asarray(np.array(px), jnp.float32),
+        jnp.ones((len(kf),), bool),
+    )
+    rot = jnp.asarray(np.tile(np.eye(3, dtype=np.float32), (n_poses, 1, 1)))
+    trans = jnp.asarray(
+        np.stack([[0.3 * i, 0.0, 0.0] for i in range(n_poses)]).astype(np.float32)
+    ) + jnp.asarray(rng.normal(scale=0.02, size=(n_poses, 3)).astype(np.float32))
+    pts = jnp.asarray(
+        (gt_points + rng.normal(scale=0.3, size=gt_points.shape)).astype(np.float32)
+    )
+    from slamtpu.mapping.bundle_adjustment import BaConfig
+
+    err0 = float(compute_total_error(cam, rot, trans, pts, obs))
+    r, t, x, err, it = ba_solve(
+        cam, rot, trans, pts, obs,
+        BaConfig(max_iterations=2), landmark_chunk=1024,
+    )
+    assert np.isfinite(float(err))
+    assert float(err) < 0.5 * err0, f"{err0:.1f} -> {float(err):.1f}"

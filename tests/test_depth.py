@@ -220,3 +220,45 @@ def test_batched_clip(models, rng):
     clip = rng.uniform(0, 255, size=(3, H, W)).astype(np.uint8)
     disp = np.asarray(md.predict(clip))
     assert disp.shape == (3, H, W)
+
+
+def test_predict_colored_byte_parity_with_reference_loop():
+    """The colormap path must be BYTE-identical to the reference's Rust loop
+    (monodepth2.rs:262-333): sorted-index 95th percentile, truncating LUT
+    index, 728-entry embedded magma LUT. Oracle: a literal numpy transcription
+    of that loop applied to a fixed synthetic disparity map."""
+    from slamtpu.depth.monodepth2 import _magma_lut
+
+    lut = _magma_lut()
+    assert lut.shape == (728, 3)
+
+    rng_ = np.random.default_rng(7)
+    disp = rng_.uniform(0.01, 0.9, size=(24, 32)).astype(np.float32)
+    # A few outliers so p95 != max, and a constant patch for ties.
+    disp[0, :5] = 5.0
+    disp[1, :4] = disp[1, 0]
+
+    # --- literal reference-loop oracle ---
+    values = np.sort(disp.ravel())
+    vmin = values[0]
+    p95_idx = min(int(len(values) * 0.95), len(values) - 1)
+    vmax = values[p95_idx]
+    rng_v = vmax - vmin
+    if rng_v < 1e-8:
+        rng_v = 1.0
+    expected = np.zeros((*disp.shape, 3), np.uint8)
+    for y in range(disp.shape[0]):
+        for x in range(disp.shape[1]):
+            normalized = min(max((disp[y, x] - vmin) / rng_v, 0.0), 1.0)
+            idx = min(max(int(normalized * 727), 0), 727)
+            expected[y, x] = lut[idx]
+
+    # --- the production path, with predict_raw stubbed to the fixture ---
+    class _Stub:
+        predict_raw = lambda self, image: disp
+        predict_colored = __import__(
+            "slamtpu.depth.monodepth2", fromlist=["MonoDepth2"]
+        ).MonoDepth2.predict_colored
+
+    got = _Stub().predict_colored(disp)
+    np.testing.assert_array_equal(got, expected)
