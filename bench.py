@@ -138,7 +138,13 @@ def main():
     # jit-compatible equivalent (covers >=70% inlier ratio at 0.999).
     from slamtpu.ops.ransac import RansacConfig
 
-    config = VoConfig(orb=OrbConfig(max_features=500), ransac=RansacConfig(iters=128))
+    solver = os.environ.get("BENCH_SOLVER", "8pt")
+    iters = int(os.environ.get("BENCH_ITERS", "128"))
+    prescore = int(os.environ.get("BENCH_PRESCORE", "0"))
+    config = VoConfig(
+        orb=OrbConfig(max_features=500),
+        ransac=RansacConfig(iters=iters, min_solver=solver, prescore_subset=prescore),
+    )
     cam = scene.intrinsics
     step = jax.jit(vo_chunk, static_argnames=("config",))
 

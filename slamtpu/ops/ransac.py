@@ -52,6 +52,16 @@ class RansacConfig:
     # throughput (610 -> ~280 frames/s at iters=128), so 8pt stays the
     # throughput default.
     min_solver: str = "8pt"
+    # 5pt two-stage scoring: each 5-point sample fans out to up to
+    # N_ROOT_SLOTS=18 candidate essentials; pre-score all slots on
+    # `prescore_subset` correspondences (sampled from the live set), keep
+    # only the best slot per hypothesis, and score those winners on the
+    # full set. 0 (default) disables: MEASURED SLOWER on TPU at the bench
+    # shape (N=500ish, iters=128: 483 -> 402 frames/s) — the subset
+    # gather/top_k adds sequential latency inside the per-frame scan that
+    # outweighs the scoring FLOPs it saves. Worth revisiting only for
+    # dense-match regimes (N >= several thousand).
+    prescore_subset: int = 0
     # ORB-SLAM-style model selection: also fit a homography and take the
     # pose from its decomposition when its inlier share S_H/(S_H+S_E)
     # exceeds homography_ratio — rescues planar scenes, where the linear
@@ -113,6 +123,9 @@ def ransac_essential(
 
     # --- hypothesis sampling: top-k of uniforms, masked ------------------
     sample_size = 5 if config.min_solver == "5pt" else config.sample_size
+    # fold_in (not split) keeps the hypothesis-sampling PRNG schedule
+    # byte-identical to builds without the prescore stage.
+    sub_key = jax.random.fold_in(key, 1)
     u = jax.random.uniform(key, (config.iters, n), dtype=jnp.float32)
     if inv_sigma is not None:
         # Weighted sampling without replacement: key = u^(1/w), w = 1/sigma^2.
@@ -128,10 +141,38 @@ def ransac_essential(
     if config.min_solver == "5pt":
         from .five_point import five_point_candidates
 
-        hyps, hyp_valid = five_point_candidates(s1, s2)  # [iters, R, 3, 3]
-        hyps = hyps.reshape(-1, 3, 3)
-        hyp_valid = hyp_valid.reshape(-1)
-        errors = sampson_error(hyps, pts1[None], pts2[None])  # [iters*R, N]
+        cands, cand_valid = five_point_candidates(s1, s2)  # [iters, R, 3, 3]
+        n_sub = config.prescore_subset
+        if 0 < n_sub < n:
+            # Stage 1: pre-score every root slot on a random subset of the
+            # live correspondences and keep the best slot per hypothesis.
+            u_sub = jax.random.uniform(sub_key, (n,), dtype=jnp.float32)
+            u_sub = jnp.where(mask, u_sub, -jnp.inf)
+            _, sub_idx = jax.lax.top_k(u_sub, n_sub)  # [M]
+            sub1 = pts1[sub_idx]
+            sub2 = pts2[sub_idx]
+            sub_thresh = (
+                thresh_sq[sub_idx] if thresh_sq.ndim else thresh_sq
+            )
+            sub_mask = mask[sub_idx]
+            sub_err = sampson_error(
+                cands.reshape(-1, 3, 3), sub1[None], sub2[None]
+            ).reshape(config.iters, -1, n_sub)
+            sub_in = (sub_err < sub_thresh) & sub_mask[None, None, :]
+            sub_counts = jnp.sum(sub_in.astype(jnp.int32), axis=-1)
+            sub_counts = jnp.where(cand_valid, sub_counts, -1)
+            best_slot = jnp.argmax(sub_counts, axis=-1)  # [iters]
+            hyps = jnp.take_along_axis(
+                cands, best_slot[:, None, None, None], axis=1
+            )[:, 0]
+            hyp_valid = jnp.take_along_axis(
+                cand_valid, best_slot[:, None], axis=1
+            )[:, 0]
+        else:
+            hyps = cands.reshape(-1, 3, 3)
+            hyp_valid = cand_valid.reshape(-1)
+        # Stage 2 (or the only stage): full scoring.
+        errors = sampson_error(hyps, pts1[None], pts2[None])  # [H, N]
         inlier_mat = (errors < thresh_sq) & mask[None, :]
         counts = jnp.sum(inlier_mat.astype(jnp.int32), axis=-1)
         counts = jnp.where(hyp_valid, counts, -1)

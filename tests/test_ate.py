@@ -31,7 +31,7 @@ import numpy as np
 import pytest
 
 from slamtpu.feature.detector import OrbConfig
-from slamtpu.io.synthetic import render_sequence
+from slamtpu.io.synthetic import render_sequence_cached as render_sequence
 from slamtpu.ops.ransac import RansacConfig
 from slamtpu.pipeline.vo import VoConfig, run_vo
 

@@ -57,7 +57,7 @@ def test_pipeline_state_roundtrip(tmp_path, rng):
 def test_point_cloud_resume(tmp_path):
     """Split a clip in two: run -> checkpoint -> resume == map keeps growing."""
     from slamtpu.feature.detector import OrbConfig
-    from slamtpu.io.synthetic import render_sequence
+    from slamtpu.io.synthetic import render_sequence_cached as render_sequence
     from slamtpu.mapping.keyframe import KeyframeConfig
     from slamtpu.ops.ransac import RansacConfig
     from slamtpu.pipeline.point_cloud import PointCloudConfig, run_point_cloud
@@ -95,7 +95,7 @@ def test_point_cloud_fused_resume_matches_host(tmp_path):
     agree exactly (mirrors test_fused_pipeline_no_ba_exact_match, but
     across a checkpoint boundary)."""
     from slamtpu.feature.detector import OrbConfig
-    from slamtpu.io.synthetic import render_sequence
+    from slamtpu.io.synthetic import render_sequence_cached as render_sequence
     from slamtpu.mapping.keyframe import KeyframeConfig
     from slamtpu.odometry.camera import CameraIntrinsics
     from slamtpu.ops.ransac import RansacConfig
@@ -156,7 +156,7 @@ def test_point_cloud_fused_resume_with_ba(tmp_path):
     map and chain keep growing, and the restored prefix of the chain is
     preserved verbatim (BA windows never reach back across the resume)."""
     from slamtpu.feature.detector import OrbConfig
-    from slamtpu.io.synthetic import render_sequence
+    from slamtpu.io.synthetic import render_sequence_cached as render_sequence
     from slamtpu.mapping.keyframe import KeyframeConfig
     from slamtpu.odometry.camera import CameraIntrinsics
     from slamtpu.ops.ransac import RansacConfig

@@ -3,7 +3,7 @@
 import numpy as np
 
 from slamtpu.feature.detector import OrbConfig
-from slamtpu.io.synthetic import render_sequence
+from slamtpu.io.synthetic import render_sequence_cached as render_sequence
 from slamtpu.ops.ransac import RansacConfig
 from slamtpu.pipeline.depth_mapping import (
     align_depth_scale,

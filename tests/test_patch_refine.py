@@ -78,7 +78,7 @@ def test_pipeline_with_refinement_enabled():
     frames through the chunked pipeline (pipeline/vo.py:138-148, including
     the padded-tail chunk) and must not hurt pose success on a clean scene."""
     from slamtpu.feature.detector import OrbConfig
-    from slamtpu.io.synthetic import render_sequence
+    from slamtpu.io.synthetic import render_sequence_cached as render_sequence
     from slamtpu.odometry.camera import CameraIntrinsics
     from slamtpu.ops.ransac import RansacConfig
     from slamtpu.pipeline.vo import VoConfig, run_vo

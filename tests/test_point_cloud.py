@@ -7,7 +7,7 @@ import numpy as np
 import pytest
 
 from slamtpu.io.export import depth_to_color_ply, point_cloud_json, save_ply
-from slamtpu.io.synthetic import render_sequence
+from slamtpu.io.synthetic import render_sequence_cached as render_sequence
 from slamtpu.mapping.triangulation import MapPoint
 from slamtpu.pipeline.point_cloud import PointCloudConfig, run_point_cloud
 from slamtpu.pipeline.vo import VoConfig

@@ -14,7 +14,7 @@ import types
 import numpy as np
 import pytest
 
-from slamtpu.io.synthetic import render_sequence
+from slamtpu.io.synthetic import render_sequence_cached as render_sequence
 from slamtpu.feature.detector import OrbConfig
 from slamtpu.mapping.keyframe import KeyframeConfig
 from slamtpu.ops.ransac import RansacConfig

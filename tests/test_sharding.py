@@ -4,7 +4,7 @@ import jax
 import numpy as np
 import pytest
 
-from slamtpu.io.synthetic import render_sequence
+from slamtpu.io.synthetic import render_sequence_cached as render_sequence
 from slamtpu.odometry.camera import CameraIntrinsics
 from slamtpu.parallel.mesh import make_mesh
 from slamtpu.parallel.sharded import sharded_vo_step

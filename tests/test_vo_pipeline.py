@@ -10,7 +10,7 @@ import numpy as np
 import pytest
 from scipy.spatial.transform import Rotation
 
-from slamtpu.io.synthetic import render_sequence
+from slamtpu.io.synthetic import render_sequence_cached as render_sequence
 from slamtpu.pipeline.vo import VoConfig, run_vo
 from slamtpu.feature.detector import OrbConfig
 from slamtpu.ops.ransac import RansacConfig
