@@ -113,10 +113,21 @@ def _project_and_residual(intrinsics, rotations, translations, points, obs):
 
 
 def compute_total_error(intrinsics, rotations, translations, points, obs, huber_delta=2.0):
-    """Sum of Huber losses over valid projections (bundle_adjustment.rs:159-186)."""
+    """Sum of Huber losses over valid projections (bundle_adjustment.rs:159-186).
+
+    A state with ZERO valid projections among masked observations scores
+    +inf, not 0: a garbage LM update (NaN pose, or one that throws every
+    landmark behind the camera) zeroes every `z > 1e-6` validity flag, and
+    under the reference's sum-over-valid semantics it would report a PERFECT
+    error of 0 and be accepted as the converged solution — observed on TPU
+    f32 (flagship phase-2 chain poisoned after one such solve). +inf makes
+    the divergence rollback catch it instead.
+    """
     _, _, residual, valid = _project_and_residual(intrinsics, rotations, translations, points, obs)
     r_norm = jnp.linalg.norm(residual, axis=-1)
-    return jnp.sum(jnp.where(valid, _huber_loss(r_norm, huber_delta), 0.0))
+    total = jnp.sum(jnp.where(valid, _huber_loss(r_norm, huber_delta), 0.0))
+    has_any = jnp.any(valid) | ~jnp.any(obs.mask)  # truly-empty problems stay 0
+    return jnp.where(has_any, total, jnp.inf)
 
 
 def pose_point_jacobians(intrinsics, rotation, translation, point):
@@ -208,7 +219,15 @@ def ba_solve(
         w = jnp.where(valid, w, 0.0)
 
         x_c, y_c = p_cam[:, 0], p_cam[:, 1]
-        z = z_safe
+        # Jacobian-only depth floor: a landmark grazing the z > 1e-6
+        # validity plane gives fx/z ~ 1e9 whose SQUARES in the normal
+        # equations and 4th powers in the Schur products overflow f32 to
+        # inf -> NaN across every pose (observed on TPU). Clamping z in the
+        # JACOBIAN (residuals and the error metric keep the reference's
+        # exact semantics) caps the products at ~1e23, comfortably finite;
+        # for z >= 1e-3 — any physically meaningful observation — nothing
+        # changes, and below it the residual still drives the update.
+        z = jnp.maximum(z_safe, 1e-3)
         z2 = z * z
         zero = jnp.zeros_like(z)
         j_proj = jnp.stack(

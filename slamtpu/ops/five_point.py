@@ -191,8 +191,8 @@ N_ROOT_SLOTS = 18
 def _real_roots_deg10(
     coeffs,
     n_grid: int = 512,
-    bisect_iters: int = 48,
-    newton_iters: int = 24,
+    bisect_iters: int = 30,
+    newton_iters: int = 16,
     n_newton_seeds: int = 4,
 ):
     """Real roots of a batched degree-10 polynomial.
@@ -203,7 +203,9 @@ def _real_roots_deg10(
     Two mechanisms (an eigen/companion route needs a nonsymmetric
     eigensolver, which XLA lacks on TPU; this stays branch-free):
       * Sign changes between consecutive points of a tan-spaced grid covering
-        the whole real line, refined by fixed-iteration bisection (up to 10).
+        the whole real line, refined by fixed-iteration bisection (up to 10);
+        30 halvings of a ~0.006-wide theta bracket reach ~5e-12, below f32
+        resolution for tan-space roots of typical magnitude.
       * Near-double root PAIRS inside one grid cell produce no sign change —
         only a dip of |n| toward zero. The deepest local minima of |n| seed
         Newton iterations (up to `n_newton_seeds`), validated by the residual
@@ -329,6 +331,41 @@ def _nullspace4(pts1, pts2, method: str = "qr"):
     return basis.reshape(*basis.shape[:-1], 3, 3)
 
 
+def _solve_pivoted(a, b):
+    """Batched solve of a x = b via branch-free Gauss-Jordan with partial
+    pivoting. a [..., n, n], b [..., n, m].
+
+    XLA's `linalg.solve` lowers to an LU whose row-by-row dynamic-slice loop
+    dominated the whole five-point RANSAC on TPU (measured 0.79 of the
+    1.25 ms/frame pipeline at 128 hypotheses — tools/profile_5pt_stages.py).
+    This version runs n fully-batched elementwise elimination steps (one
+    masked argmax + two rank-1 updates each) and recovers the row order at
+    the end with a single permutation matmul: after full Gauss-Jordan the
+    leading n columns hold exactly the permutation matrix P (row p_k = e_k),
+    so x = P^T * reduced_rhs. Singular systems yield inf/NaN rows, which
+    downstream validity masks absorb — identical to the LU path's behavior.
+    """
+    n = a.shape[-1]
+    aug = jnp.concatenate([a, b], axis=-1)  # [..., n, n+m]
+    used = jnp.zeros(a.shape[:-1], bool)  # [..., n]
+
+    for k in range(n):
+        col = aug[..., :, k]
+        score = jnp.where(used, -jnp.inf, jnp.abs(col))
+        p = jnp.argmax(score, axis=-1)  # [...]
+        onehot = jax.nn.one_hot(p, n, dtype=aug.dtype)  # [..., n]
+        pivot_row = jnp.einsum("...r,...rc->...c", onehot, aug)  # [..., n+m]
+        norm_row = pivot_row / pivot_row[..., k : k + 1]
+        # Eliminate column k from every row (incl. the pivot row), then put
+        # the normalized pivot row back.
+        aug = aug - col[..., :, None] * norm_row[..., None, :]
+        aug = aug + onehot[..., :, None] * norm_row[..., None, :]
+        used = used | (onehot > 0.5)
+
+    # Leading n columns now hold P (row p_k = e_k): x = P^T * rhs.
+    return jnp.einsum("...rk,...rc->...kc", aug[..., :, :n], aug[..., :, n:])
+
+
 def _z_shift(p):
     """Multiply an ascending-coefficient z-polynomial by z."""
     return jnp.concatenate([jnp.zeros_like(p[..., :1]), p], axis=-1)
@@ -365,8 +402,9 @@ def five_point_candidates(pts1, pts2):
     # Gauss-Jordan in one batched solve: rows of r give the reduced tails in
     # leading-monomial order x^3, y^3, x^2 y, x y^2, x^2 z, x^2, y^2 z, y^2,
     # x y z, x y. Degenerate samples make a_lead singular; the NaN/inf rows
-    # propagate to invalid roots below.
-    r = jnp.linalg.solve(a_lead, b_tail)  # [..., 10, 10]
+    # propagate to invalid roots below. (_solve_pivoted, not linalg.solve:
+    # XLA's LU loop was 64% of the whole 5pt frame budget on TPU.)
+    r = _solve_pivoted(a_lead, b_tail)  # [..., 10, 10]
 
     def combo(row_top, row_bot):
         """<top> - z<bot>: rows with leading monomials (M z, M)."""

@@ -47,10 +47,14 @@ class RansacConfig:
     # pose.rs:64-73; up to N_ROOT_SLOTS=18 candidate E slots per 5-point
     # sample: 10 sign-change brackets + 4 Newton seeds + 4 pair siblings).
     # 5pt needs fewer inlier samples per hypothesis, has no planar
-    # degeneracy, and measured ~0.73x the cv2-oracle ATE on the fair-lateral
-    # scene — but its candidate fan-out costs roughly half the VO
-    # throughput (610 -> ~280 frames/s at iters=128), so 8pt stays the
-    # throughput default.
+    # degeneracy, and measured 0.66-0.94x the cv2-oracle ATE on the
+    # fair-lateral scenes at the pipeline config. Since the pivoted
+    # Gauss-Jordan elimination replaced XLA's LU loop (five_point.py
+    # _solve_pivoted), the throughput cost is modest (516 vs 635 frames/s
+    # at iters=128 on the TPU bench), so the PIPELINE default (VoConfig)
+    # runs 5pt — full reference parity. This low-level default stays 8pt
+    # for direct RansacConfig() users who want the linear fast path at
+    # OpenCV's max iteration count.
     min_solver: str = "8pt"
     # 5pt two-stage scoring: each 5-point sample fans out to up to
     # N_ROOT_SLOTS=18 candidate essentials; pre-score all slots on

@@ -58,7 +58,18 @@ __all__ = [
 @dataclasses.dataclass(frozen=True)
 class VoConfig:
     orb: OrbConfig = OrbConfig()
-    ransac: RansacConfig = RansacConfig()
+    # THE unified pipeline default — the config the TPU bench, the ATE
+    # north-star gates (tests/test_ate.py), and the CLIs all run: Nistér
+    # 5-point (the solver the reference's OpenCV call actually executes,
+    # pose.rs:64-73) at 64 static hypotheses — the jit-compatible
+    # equivalent of OpenCV's adaptive RANSAC at confidence 0.999, which
+    # terminates after ~24-38 iterations at the 70-75% inlier ratios this
+    # pipeline sees; 64 covers that with >1.7x margin. Measured sweep
+    # (TPU bench fps / 160-frame / 80-frame fair-lateral ATE vs the
+    # cv2-oracle pipeline): iters=128 516 fps, 0.66x / 0.94x; iters=96
+    # 547 fps, 0.74x / 0.79x; iters=64 606 fps, 0.80x / 0.73x — all far
+    # inside the 1.01x north star, so the default takes the throughput.
+    ransac: RansacConfig = RansacConfig(iters=64, min_solver="5pt")
     keyframe: KeyframeConfig = KeyframeConfig()
     match_ratio: float = 2.0
     min_matches: int = 8  # visual_odometry.rs:109

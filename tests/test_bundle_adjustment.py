@@ -255,3 +255,47 @@ def test_global_scale_ba_memory_bounded(rng):
     )
     assert np.isfinite(float(err))
     assert float(err) < 0.5 * err0, f"{err0:.1f} -> {float(err):.1f}"
+
+
+def test_near_camera_landmark_f32_stays_finite(rng):
+    """TPU regression: a landmark grazing the z > 1e-6 validity plane made
+    f32 normal-equation/Schur products overflow to inf -> NaN poses, and the
+    all-invalid garbage state then scored a PERFECT error of 0 and was
+    accepted (flagship phase-2 chain poisoned). The Jacobian depth floor +
+    the inf-on-zero-valid error metric must keep the solve finite."""
+    import jax
+
+    cam, _, _, noisy_poses, noisy_points, observations = make_ba_problem(
+        rng, n_poses=4, n_points=10
+    )
+    rot = jnp.asarray(np.stack([p[0] for p in noisy_poses]), jnp.float32)
+    trans = jnp.asarray(np.stack([p[1] for p in noisy_poses]), jnp.float32)
+    pts = np.stack(noisy_points).astype(np.float32)
+    # Put one landmark essentially ON the camera plane of pose 0 (z ~ 2e-6:
+    # valid by the reference's z > 1e-6 rule, catastrophic for f32 J^T J).
+    r0, t0 = noisy_poses[0]
+    pts[0] = np.linalg.inv(r0) @ (np.array([0.3, 0.2, 2e-6]) - t0)
+    obs = ObservationBatch.from_list(observations, dtype=jnp.float32)
+
+    new_rot, new_trans, new_pts, err, iters = ba_solve(
+        cam, rot, trans, jnp.asarray(pts), obs
+    )
+    assert np.isfinite(np.asarray(new_rot)).all()
+    assert np.isfinite(np.asarray(new_trans)).all()
+    assert np.isfinite(float(err))
+    assert float(err) > 0.0  # a zero score here would be the masked-NaN bug
+
+
+def test_zero_valid_projections_scores_inf(cam):
+    """All landmarks behind the camera -> +inf, not a 'perfect' 0."""
+    rot = jnp.asarray(np.eye(3)[None])
+    trans = jnp.zeros((1, 3))
+    pts = jnp.asarray([[0.0, 0.0, -5.0]])  # behind
+    obs = ObservationBatch(
+        kf_idx=jnp.asarray([0], jnp.int32),
+        pt_idx=jnp.asarray([0], jnp.int32),
+        pixels=jnp.asarray([[320.0, 240.0]]),
+        mask=jnp.ones((1,), bool),
+    )
+    err = compute_total_error(cam, rot, trans, pts, obs)
+    assert np.isinf(float(err))

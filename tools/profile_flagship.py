@@ -1,86 +1,87 @@
-"""Decompose the flagship fused pipeline's cost on the real chip.
+"""Ablation timing of the fused point-cloud pipeline on TPU.
 
-Times three variants over the same synthetic clip:
-  1. VO frontend only
-  2. frontend + fused phase 2 with BA disabled (ba_interval=0)
-  3. frontend + fused phase 2 with BA every 5 keyframes (bench config)
+Times run_point_cloud_fused end-to-end under config ablations to localize
+the phase-2 cost (VERDICT r2 weakness 3: flagship 105 fps vs frontend 645).
+Each variant: one warmup run (compile; distinct seed) + one timed run.
 
-The deltas attribute steady-state cost to (frontend) vs (per-keyframe map
-work: match/triangulate/insert/re-associate/top_k) vs (windowed BA solves).
-
-Usage: python tools/profile_flagship.py [n_frames]
+Usage: python tools/profile_flagship.py [variant ...]
+Variants: full, no_ba, no_prune, no_ba_no_prune, cap4096, obs256, frontend
 """
 
-from __future__ import annotations
-
+import os
 import sys
 import time
 
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+import jax
 import numpy as np
+
+from slamtpu.feature.detector import OrbConfig
+from slamtpu.io.synthetic import render_sequence_cached
+from slamtpu.mapping.keyframe import KeyframeConfig
+from slamtpu.odometry.camera import CameraIntrinsics
+from slamtpu.pipeline.point_cloud import PointCloudConfig, run_point_cloud_fused
+from slamtpu.pipeline.vo import VoConfig
+
+T, CHUNK = 257, 32
+
+
+def scene_frames():
+    k = CameraIntrinsics.kitti()
+    scene = render_sequence_cached(
+        n_frames=T, height=376, width=1241, n_points=4000, step=0.8,
+        intrinsics=k, seed=0, noise=2.0,
+    )
+    dev = jax.device_put(scene.frames)
+    np.asarray(dev[0, 0])
+    return dev, scene.intrinsics
+
+
+def cfg_variant(name):
+    kw = {}
+    if name in ("no_ba", "no_ba_no_prune"):
+        kw["ba_interval"] = 0
+    if name in ("no_prune", "no_ba_no_prune"):
+        kw["prune_interval"] = 0
+    if name == "cap4096":
+        kw["map_capacity"] = 4096
+    if name == "obs256":
+        kw["max_obs_per_kf"] = 256
+        kw["max_ba_observations"] = 1024
+    vo_kw = {}
+    if name == "solver8pt":
+        from slamtpu.ops.ransac import RansacConfig
+
+        vo_kw["ransac"] = RansacConfig(iters=128)
+    return PointCloudConfig(
+        vo=VoConfig(
+            orb=OrbConfig(max_features=500),
+            keyframe=KeyframeConfig(0.03, 0.03, 0.7, 3),
+            **vo_kw,
+        ),
+        map_capacity=kw.pop("map_capacity", 16384),
+        **kw,
+    )
 
 
 def main():
-    t_total = int(sys.argv[1]) if len(sys.argv) > 1 else 257
-    chunk = 32
-
-    import jax
-
-    from slamtpu.feature.detector import OrbConfig
-    from slamtpu.io.synthetic import render_sequence
-    from slamtpu.mapping.keyframe import KeyframeConfig
-    from slamtpu.odometry.camera import CameraIntrinsics
-    from slamtpu.ops.ransac import RansacConfig
-    from slamtpu.pipeline.point_cloud import PointCloudConfig, run_point_cloud_fused
-    from slamtpu.pipeline.vo import VoConfig, run_vo
-
-    print(f"devices: {jax.devices()}", flush=True)
-    scene = render_sequence(
-        n_frames=t_total, height=376, width=1241, n_points=4000, step=0.8,
-        intrinsics=CameraIntrinsics.kitti(), seed=0, noise=2.0,
-    )
-    dev_frames = jax.device_put(scene.frames)
-    np.asarray(dev_frames[0, 0])
-    cam = scene.intrinsics
-
-    vo = VoConfig(
-        orb=OrbConfig(max_features=500),
-        ransac=RansacConfig(iters=128),
-        keyframe=KeyframeConfig(0.03, 0.03, 0.7, 3),
-    )
-
-    def timed(label, fn):
-        fn(seed=1)  # compile + warm (distinct seed: runtime memoizes)
+    variants = sys.argv[1:] or ["full", "no_ba", "no_ba_no_prune", "cap4096", "obs256"]
+    frames, cam = scene_frames()
+    for name in variants:
+        cfg = cfg_variant(name)
         t0 = time.time()
-        out = fn(seed=0)
+        run_point_cloud_fused(frames, cam, cfg, chunk_size=CHUNK, seed=1)
+        compile_s = time.time() - t0
+        t0 = time.time()
+        res = run_point_cloud_fused(frames, cam, cfg, chunk_size=CHUNK, seed=0)
         dt = time.time() - t0
-        print(f"{label}: {dt:.2f}s  ({(t_total - 1) / dt:.1f} frames/s)", flush=True)
-        return out, dt
-
-    _, t_front = timed(
-        "frontend only        ",
-        lambda seed: run_vo(dev_frames, cam, vo, chunk_size=chunk, seed=seed),
-    )
-
-    cfg_noba = PointCloudConfig(vo=vo, map_capacity=16384, ba_interval=0)
-    _, t_noba = timed(
-        "fused phase2, no BA  ",
-        lambda seed: run_point_cloud_fused(dev_frames, cam, cfg_noba, chunk_size=chunk, seed=seed),
-    )
-
-    cfg_ba = PointCloudConfig(vo=vo, map_capacity=16384)
-    res, t_ba = timed(
-        "fused phase2, BA @5  ",
-        lambda seed: run_point_cloud_fused(dev_frames, cam, cfg_ba, chunk_size=chunk, seed=seed),
-    )
-
-    n_kf = int(res.keyframe_frame_idx.shape[0])
-    print(
-        f"split: frontend {t_front:.2f}s | map work {t_noba - t_front:.2f}s "
-        f"({(t_noba - t_front) / max(n_kf, 1) * 1000:.1f} ms/kf) | "
-        f"BA {t_ba - t_noba:.2f}s ({res.ba_runs} runs -> "
-        f"{(t_ba - t_noba) / max(res.ba_runs, 1) * 1000:.1f} ms/run)",
-        flush=True,
-    )
+        print(
+            f"{name:16s}: {((T - 1) / dt):7.1f} frames/s  ({dt:.2f}s, "
+            f"{res.keyframe_rotations.shape[0]} kf, {res.ba_runs} ba, "
+            f"compile {compile_s:.0f}s)",
+            flush=True,
+        )
 
 
 if __name__ == "__main__":

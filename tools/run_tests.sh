@@ -12,12 +12,17 @@
 set -u
 cd "$(dirname "$0")/.."
 MAX_RETRY=${MAX_RETRY:-2}
+# Fast tier by default: full-size gates are marked `slow` and re-run the
+# SAME gate math at larger scale — include them with RUN_SLOW=1 (nightly
+# posture). The fast tier covers every gate's logic in minutes.
+MARKER_ARGS=(-m "not slow")
+[ "${RUN_SLOW:-0}" = "1" ] && MARKER_ARGS=()
 fail_files=()
 crash_files=()
 for f in tests/test_*.py; do
   ok=0
   for attempt in $(seq 0 "$MAX_RETRY"); do
-    python -m pytest "$f" -q -p no:cacheprovider "$@"
+    python -m pytest "$f" -q -p no:cacheprovider "${MARKER_ARGS[@]}" "$@"
     rc=$?
     if [ "$rc" -eq 0 ]; then
       ok=1
