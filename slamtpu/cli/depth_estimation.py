@@ -26,8 +26,9 @@ def main(argv=None):
     parser.add_argument("--decoder")
     parser.add_argument(
         "--bf16", action="store_true",
-        help="run the network in bfloat16 (TPU inference recipe: ~2x MXU "
-        "throughput, ~1e-2 relative disparity error)",
+        help="run the network in bfloat16 (~1e-2 relative disparity error; "
+        "measured speedup grows with batch: 1.0x@4 to 1.23x@64 on TPU v5e "
+        "— see PARITY.md)",
     )
     parser.add_argument("--random-init", action="store_true",
                         help="run with random weights (no checkpoints; smoke/timing)")

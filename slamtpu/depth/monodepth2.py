@@ -67,10 +67,13 @@ class MonoDepth2:
     ):
         """compute_dtype: None keeps full f32; jnp.bfloat16 runs the network
         in bf16 (params stored f32, cast at the jit boundary; output cast
-        back to f32) — the standard TPU inference recipe, roughly doubling
-        MXU throughput and halving HBM traffic. Inference-only BatchNorm is
-        a scale/shift, so bf16 costs ~1e-2 relative disparity error
-        (asserted against the f32 path in tests/test_depth.py)."""
+        back to f32). Measured on TPU v5e at 192x640 the win grows with
+        batch — 1.00x at batch 4, 1.05x at 16, 1.23x at 64
+        (tools/bench_depth_bf16.py; table in PARITY.md): at small batch the
+        network is dispatch/HBM-bound, not MXU-bound, so halving the matmul
+        width buys little. Inference-only BatchNorm is a scale/shift, so
+        bf16 costs ~1e-2 relative disparity error (asserted against the f32
+        path in tests/test_depth.py)."""
         self.width = width
         self.height = height
         self.compute_dtype = compute_dtype
