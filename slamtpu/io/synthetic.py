@@ -48,11 +48,28 @@ def _rot_y(angle):
     return np.array([[c, 0.0, s], [0.0, 1.0, 0.0], [-s, 0.0, c]])
 
 
-def forward_path(n_frames: int, step: float = 0.3, yaw_rate: float = 0.002):
+def forward_path(
+    n_frames: int,
+    step: float = 0.3,
+    yaw_rate: float = 0.002,
+    forward_dir=(0.0, 0.0, 1.0),
+):
     """KITTI-like path: camera drives forward (+z in world) with gentle yaw.
+
+    forward_dir is the motion direction in the CAMERA frame (normalized
+    here): (0,0,1) drives exactly along the optical axis, which parks the
+    epipole on the principal point and aligns the ground-truth flow field
+    with the pixel grid — the forward analog of the lateral scene's
+    axis-aligned degeneracy (integer keypoint quantization snaps minimal
+    samples into exact consistency with the true essential matrix,
+    flattering whichever pipeline quantizes harder). A slightly off-axis
+    direction (e.g. (0.12, 0.06, 1.0)) keeps the epipole IN-IMAGE (the hard
+    forward regime) but off the grid axes.
 
     Returns world-to-camera (R, t) per frame.
     """
+    fwd = np.asarray(forward_dir, float)
+    fwd = fwd / np.linalg.norm(fwd)
     rotations = np.zeros((n_frames, 3, 3))
     translations = np.zeros((n_frames, 3))
     heading = 0.0
@@ -61,7 +78,7 @@ def forward_path(n_frames: int, step: float = 0.3, yaw_rate: float = 0.002):
         r_wc = _rot_y(heading).T  # world-to-camera
         rotations[i] = r_wc
         translations[i] = -r_wc @ position
-        direction = _rot_y(heading) @ np.array([0.0, 0.0, 1.0])
+        direction = _rot_y(heading) @ fwd
         position = position + step * direction
         heading += yaw_rate
     return rotations, translations
@@ -210,6 +227,7 @@ def render_sequence(
     lateral_depth: tuple = (8.0, 30.0),
     sprite_size: tuple = (0.05, 0.25),
     lateral_dir: tuple = (1.0, 0.0, 0.0),
+    forward_dir: tuple = (0.0, 0.0, 1.0),
     textured: bool = False,
 ) -> SyntheticScene:
     """Render a moving-camera sequence through a random landmark field.
@@ -240,7 +258,18 @@ def render_sequence(
         # path this reduces exactly to the uniform box corridor.
         n_ext = n_frames + int(np.ceil(40.0 / max(step, 1e-6)))
         headings = yaw_rate * np.arange(n_ext + 1)
-        directions = np.stack([np.sin(headings), np.zeros(n_ext + 1), np.cos(headings)], axis=1)
+        fwd = np.asarray(forward_dir, float)
+        fwd = fwd / np.linalg.norm(fwd)
+        # direction = Ry(heading) @ fwd (the same camera-frame drift
+        # forward_path applies).
+        directions = np.stack(
+            [
+                fwd[0] * np.cos(headings) + fwd[2] * np.sin(headings),
+                np.full(n_ext + 1, fwd[1]),
+                -fwd[0] * np.sin(headings) + fwd[2] * np.cos(headings),
+            ],
+            axis=1,
+        )
         path = np.concatenate([np.zeros((1, 3)), np.cumsum(step * directions[:-1], axis=0)])
         s_idx = rng.uniform(2.0 / max(step, 1e-6), n_ext, n_points)
         base = path[s_idx.astype(int)]
@@ -252,7 +281,7 @@ def render_sequence(
         points = base + np.stack(
             [dx * np.cos(h), dy, -dx * np.sin(h)], axis=1
         )
-        rotations, translations = forward_path(n_frames, step, yaw_rate)
+        rotations, translations = forward_path(n_frames, step, yaw_rate, forward_dir)
     elif motion == "lateral":
         # A deep landmark wall in front of the track: spans the whole travel
         # in x/y, depth lateral_depth for parallax diversity.

@@ -17,6 +17,13 @@ sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 import jax
 import numpy as np
 
+# Reuse the bench's persistent XLA compile cache: each ablation variant is a
+# distinct config of the (large) fused phase-2 program, and cold TPU compiles
+# for all variants cost more than the measurements themselves.
+import bench
+
+bench._enable_compile_cache(jax)
+
 from slamtpu.feature.detector import OrbConfig
 from slamtpu.io.synthetic import render_sequence_cached
 from slamtpu.mapping.keyframe import KeyframeConfig
