@@ -91,6 +91,34 @@ class BaConfig:
     huber_delta: float = 2.0  # :66
 
 
+def _inv3x3(a):
+    """Batched closed-form (adjugate) 3x3 inverse.
+
+    `jnp.linalg.inv` lowers to an LU row loop per block on TPU; the adjugate
+    form is nine fused elementwise products. Inputs here are damped SPD
+    blocks, so the determinant is bounded away from zero by construction.
+    """
+    c00 = a[..., 1, 1] * a[..., 2, 2] - a[..., 1, 2] * a[..., 2, 1]
+    c01 = a[..., 1, 2] * a[..., 2, 0] - a[..., 1, 0] * a[..., 2, 2]
+    c02 = a[..., 1, 0] * a[..., 2, 1] - a[..., 1, 1] * a[..., 2, 0]
+    c10 = a[..., 0, 2] * a[..., 2, 1] - a[..., 0, 1] * a[..., 2, 2]
+    c11 = a[..., 0, 0] * a[..., 2, 2] - a[..., 0, 2] * a[..., 2, 0]
+    c12 = a[..., 0, 1] * a[..., 2, 0] - a[..., 0, 0] * a[..., 2, 1]
+    c20 = a[..., 0, 1] * a[..., 1, 2] - a[..., 0, 2] * a[..., 1, 1]
+    c21 = a[..., 0, 2] * a[..., 1, 0] - a[..., 0, 0] * a[..., 1, 2]
+    c22 = a[..., 0, 0] * a[..., 1, 1] - a[..., 0, 1] * a[..., 1, 0]
+    det = a[..., 0, 0] * c00 + a[..., 0, 1] * c01 + a[..., 0, 2] * c02
+    adj = jnp.stack(
+        [
+            jnp.stack([c00, c10, c20], axis=-1),
+            jnp.stack([c01, c11, c21], axis=-1),
+            jnp.stack([c02, c12, c22], axis=-1),
+        ],
+        axis=-2,
+    )
+    return adj / det[..., None, None]
+
+
 def _huber_loss(r_norm, delta):
     """bundle_adjustment.rs:42-49: r^2 below delta, 2*delta*|r| - delta^2 above."""
     rsq = r_norm * r_norm
@@ -170,6 +198,7 @@ def ba_solve(
     fix_first_pose: bool = True,
     pose_mask=None,
     landmark_chunk: int = 2048,
+    segment_method: str = "auto",
 ):
     """Run LM with Schur elimination. Returns (rotations, translations,
     points, final_error, iterations_run).
@@ -204,6 +233,49 @@ def ba_solve(
     fy = jnp.asarray(intrinsics.fy, dtype)
     delta = config.huber_delta
     lam_damp = config.lam * 10.0  # bundle_adjustment.rs:313
+
+    # Segment-sum strategy (`segment_method`: "auto"/"onehot"/"scatter").
+    # TPU scatter-adds serialize; for small problems (the per-keyframe BA
+    # window: 5 poses x 2048 landmarks x 5120 obs) the MXU-native form is a
+    # one-hot matmul — the [L, M]/[P, M] indicator matrices are built ONCE
+    # per solve (indices never change across LM iterations) and every
+    # per-landmark/per-pose reduction becomes one matmul. Values agree with
+    # segment_sum up to summation ORDER: scatter-add over zero-padded rows
+    # is bit-exact for any padding (x + 0.0 == x), while matmul tiling
+    # regroups the nonzero terms whenever M changes. "auto" therefore keeps
+    # scatter-adds on CPU — the host-loop and fused pipelines build
+    # different-M padded views of the same window and their bit-equality
+    # under f64 is a test invariant (tests/test_point_cloud.py) — and uses
+    # the one-hot form on accelerators (equivalence unit-tested in
+    # tests/test_bundle_adjustment.py). Large problems (global BA: 16k
+    # landmarks x 100k+ obs would need a multi-GB indicator) always scatter.
+    if segment_method == "auto":
+        want_onehot = jax.default_backend() != "cpu"
+    else:
+        want_onehot = segment_method == "onehot"
+    use_onehot = (
+        want_onehot
+        and n_points * m <= 40_000_000
+        and n_poses * m <= 40_000_000
+        and m > 0
+    )
+    if use_onehot:
+        oh_pt = (obs.pt_idx[None, :] == jnp.arange(n_points)[:, None]).astype(dtype)
+        oh_pose = (obs.kf_idx[None, :] == jnp.arange(n_poses)[:, None]).astype(dtype)
+
+        def seg_pt(v):
+            return (oh_pt @ v.reshape(m, -1)).reshape(n_points, *v.shape[1:])
+
+        def seg_pose(v):
+            return (oh_pose @ v.reshape(m, -1)).reshape(n_poses, *v.shape[1:])
+
+    else:
+
+        def seg_pt(v):
+            return jax.ops.segment_sum(v, obs.pt_idx, n_points)
+
+        def seg_pose(v):
+            return jax.ops.segment_sum(v, obs.kf_idx, n_poses)
 
     def error_of(state):
         r, t, x = state
@@ -258,18 +330,10 @@ def ba_solve(
         # Weighted normal-equation blocks.
         wj_pose = j_pose * w[:, None, None]
         wj_point = j_point * w[:, None, None]
-        h_pp = jax.ops.segment_sum(
-            jnp.einsum("mai,maj->mij", wj_pose, j_pose), obs.kf_idx, n_poses
-        )  # [P, 6, 6]
-        h_ll = jax.ops.segment_sum(
-            jnp.einsum("mai,maj->mij", wj_point, j_point), obs.pt_idx, n_points
-        )  # [L, 3, 3]
-        b_p = -jax.ops.segment_sum(
-            jnp.einsum("mai,ma->mi", wj_pose, residual), obs.kf_idx, n_poses
-        )  # [P, 6]
-        b_l = -jax.ops.segment_sum(
-            jnp.einsum("mai,ma->mi", wj_point, residual), obs.pt_idx, n_points
-        )  # [L, 3]
+        h_pp = seg_pose(jnp.einsum("mai,maj->mij", wj_pose, j_pose))  # [P, 6, 6]
+        h_ll = seg_pt(jnp.einsum("mai,maj->mij", wj_point, j_point))  # [L, 3, 3]
+        b_p = -seg_pose(jnp.einsum("mai,ma->mi", wj_pose, residual))  # [P, 6]
+        b_l = -seg_pt(jnp.einsum("mai,ma->mi", wj_point, residual))  # [L, 3]
         # Per-observation pose-landmark coupling block W_m = (wJ_pose)^T
         # J_point [M, 6, 3]. The full coupling W[i,j] = sum of U_m over
         # observations (pose i, landmark j) is NEVER materialized as a dense
@@ -291,7 +355,7 @@ def ba_solve(
         # our dense formulation it produced NaNs). Standard LM practice:
         # damp the landmark diagonal too, making every block invertible.
         h_ll_damped = h_ll + lam_damp * jnp.eye(3, dtype=dtype)
-        h_ll_inv = jnp.linalg.inv(h_ll_damped)
+        h_ll_inv = _inv3x3(h_ll_damped)
 
         # Schur reduction (full, with pose-pose coupling), block-sparse in
         # memory. The reference assembles sparse blocks into a HashMap
@@ -304,37 +368,53 @@ def ba_solve(
         # flagship and global BA run (<=256 poses x 16k landmarks).
         lc = min(n_points, landmark_chunk)
         n_chunks = -(-n_points // lc)
-        l_pad = n_chunks * lc
-        # Zero-padding h_ll_inv makes padded landmarks contribute exactly
-        # nothing (their W_c columns are zero anyway — double safety).
-        h_ll_inv_pad = jnp.zeros((l_pad, 3, 3), dtype).at[:n_points].set(h_ll_inv)
-
-        def schur_chunk(c, s_acc):
-            base = c * lc
-            local = obs.pt_idx - base
-            # Out-of-chunk observations are routed to row Lc and dropped.
-            safe = jnp.where((local >= 0) & (local < lc), local, lc)
-            w_c = (
-                jnp.zeros((n_poses, lc, 6, 3), dtype)
-                .at[obs.kf_idx, safe]
-                .add(u_pl, mode="drop")
+        if use_onehot and n_chunks == 1:
+            # Dense one-hot W assembly: one matmul instead of a scatter-add
+            # (TPU scatters serialize; this is the window-BA hot path).
+            stacked = oh_pose[:, :, None] * u_pl.reshape(m, 18)[None]  # [P, M, 18]
+            w_full = jnp.einsum("pmk,lm->plk", stacked, oh_pt).reshape(
+                n_poses, n_points, 6, 3
             )
-            hinv_c = jax.lax.dynamic_slice(h_ll_inv_pad, (base, 0, 0), (lc, 3, 3))
-            t_c = jnp.einsum("pjab,jbc->pjac", w_c, hinv_c)
-            t_mat = t_c.transpose(0, 2, 1, 3).reshape(n_poses * 6, lc * 3)
-            w_mat = w_c.transpose(0, 2, 1, 3).reshape(n_poses * 6, lc * 3)
-            s_c = (t_mat @ w_mat.T).reshape(n_poses, 6, n_poses, 6)
-            return s_acc + s_c.transpose(0, 2, 1, 3)
+            t_full = jnp.einsum("pjab,jbc->pjac", w_full, h_ll_inv)
+            t_mat = t_full.transpose(0, 2, 1, 3).reshape(n_poses * 6, n_points * 3)
+            w_mat = w_full.transpose(0, 2, 1, 3).reshape(n_poses * 6, n_points * 3)
+            s_off = (
+                (t_mat @ w_mat.T)
+                .reshape(n_poses, 6, n_poses, 6)
+                .transpose(0, 2, 1, 3)
+            )
+        else:
+            l_pad = n_chunks * lc
+            # Zero-padding h_ll_inv makes padded landmarks contribute exactly
+            # nothing (their W_c columns are zero anyway — double safety).
+            h_ll_inv_pad = jnp.zeros((l_pad, 3, 3), dtype).at[:n_points].set(h_ll_inv)
 
-        s_off = jax.lax.fori_loop(
-            0, n_chunks, schur_chunk, jnp.zeros((n_poses, n_poses, 6, 6), dtype)
-        )
+            def schur_chunk(c, s_acc):
+                base = c * lc
+                local = obs.pt_idx - base
+                # Out-of-chunk observations are routed to row Lc and dropped.
+                safe = jnp.where((local >= 0) & (local < lc), local, lc)
+                w_c = (
+                    jnp.zeros((n_poses, lc, 6, 3), dtype)
+                    .at[obs.kf_idx, safe]
+                    .add(u_pl, mode="drop")
+                )
+                hinv_c = jax.lax.dynamic_slice(h_ll_inv_pad, (base, 0, 0), (lc, 3, 3))
+                t_c = jnp.einsum("pjab,jbc->pjac", w_c, hinv_c)
+                t_mat = t_c.transpose(0, 2, 1, 3).reshape(n_poses * 6, lc * 3)
+                w_mat = w_c.transpose(0, 2, 1, 3).reshape(n_poses * 6, lc * 3)
+                s_c = (t_mat @ w_mat.T).reshape(n_poses, 6, n_poses, 6)
+                return s_acc + s_c.transpose(0, 2, 1, 3)
+
+            s_off = jax.lax.fori_loop(
+                0, n_chunks, schur_chunk, jnp.zeros((n_poses, n_poses, 6, 6), dtype)
+            )
         s = -s_off
         s = s.at[jnp.arange(n_poses), jnp.arange(n_poses)].add(h_pp)
         # Reduced RHS, O(M): b_p[i] - sum_m U_m (Hll^-1 b_l)[lm(m)].
         hinv_bl = jnp.einsum("jbc,jc->jb", h_ll_inv, b_l)  # [L, 3]
-        b_red = b_p - jax.ops.segment_sum(
-            jnp.einsum("mab,mb->ma", u_pl, hinv_bl[obs.pt_idx]), obs.kf_idx, n_poses
+        b_red = b_p - seg_pose(
+            jnp.einsum("mab,mb->ma", u_pl, hinv_bl[obs.pt_idx])
         )  # [P, 6]
 
         # Gauge fix: pose 0 pinned exactly.
@@ -355,21 +435,30 @@ def ba_solve(
         # Strong damping on the pose diagonal (:310-315).
         s = s.at[jnp.arange(n_poses), jnp.arange(n_poses)].add(lam_damp * eye6)
 
-        # Dense solve of the reduced pose system.
+        # Dense solve of the reduced pose system. For window-sized systems
+        # the trace-unrolled Gauss-Jordan beats XLA's LU row loop on TPU
+        # (same finding as the 5-point solver, ops/five_point.py
+        # _solve_pivoted); big global-BA systems keep linalg.solve (the
+        # unroll would bloat the program at 6P > 64).
         s_mat = s.transpose(0, 2, 1, 3).reshape(n_poses * 6, n_poses * 6)
-        delta_p = jnp.linalg.solve(s_mat, b_red.reshape(-1)).reshape(n_poses, 6)
+        if n_poses * 6 <= 64:
+            from ..ops.five_point import _solve_pivoted
+
+            delta_p = _solve_pivoted(s_mat, b_red.reshape(-1, 1))[:, 0].reshape(
+                n_poses, 6
+            )
+        else:
+            delta_p = jnp.linalg.solve(s_mat, b_red.reshape(-1)).reshape(n_poses, 6)
 
         # Pose update: R <- exp(dw) R, t += dt (:333-340).
         new_rot = jnp.einsum("pij,pjk->pik", so3_exp(delta_p[:, :3]), rotations)
         new_trans = translations + delta_p[:, 3:]
 
         # Point back-substitution, O(M): dx = Hll^-1 (b_l - W^T dp) (:342-362).
-        wtd = jax.ops.segment_sum(
-            jnp.einsum("mab,ma->mb", u_pl, delta_p[obs.kf_idx]), obs.pt_idx, n_points
-        )  # [L, 3]
+        wtd = seg_pt(jnp.einsum("mab,ma->mb", u_pl, delta_p[obs.kf_idx]))  # [L, 3]
         delta_x = jnp.einsum("jbc,jc->jb", h_ll_inv, b_l - wtd)
         # Points with no (free) observations must not move.
-        observed = jax.ops.segment_sum(w, obs.pt_idx, n_points) > 0
+        observed = seg_pt(w) > 0
         delta_x = jnp.where(observed[:, None], delta_x, 0.0)
         new_points = points + delta_x
 

@@ -37,21 +37,34 @@ class RansacConfig:
     threshold: float = 1.0
     confidence: float = 0.999
     sample_size: int = 8
-    # 3 rounds: each round projects onto the essential manifold and only
-    # accepts non-degrading updates, which converges slightly slower per
-    # round than unconstrained IRLS but can never collapse the consensus.
+    # 3 rounds: each round stays on the essential manifold and only accepts
+    # non-degrading updates, so it can never collapse the consensus.
     refine_rounds: int = 3
+    # Consensus refinement algorithm:
+    #   "gn"   — on-manifold Gauss-Newton on the Sampson residual,
+    #            E(d) = exp(hat d_L) E exp(hat d_R)^T (default). Cuts
+    #            per-pair variance WITHOUT the weighted-8-point refit's
+    #            systematic direction bias: on composed trajectories the
+    #            IRLS refit's correlated bias accumulates ~linearly while
+    #            unbiased noise cancels (measured on the 80-frame forward
+    #            corridor: ATE 1.14x the cv2 oracle with "irls", 0.47x
+    #            without any refit — per-pair medians were BETTER with
+    #            "irls", 4.33 vs 5.28 deg, i.e. pure bias-variance).
+    #   "irls" — Sampson-IRLS weighted 8-point refit (the round-2 path).
+    #   "none" — best minimal-sample model as-is (closest to OpenCV's
+    #            find_essential_mat, which does not polish E).
+    refit_method: str = "gn"
     solver: str = "chol"  # smallest-eigvec method: "chol" (fast) or "eigh"
     # Minimal solver per hypothesis: "8pt" (linear, needs 8 samples) or
     # "5pt" (Nistér — the solver OpenCV's find_essential_mat actually runs,
     # pose.rs:64-73; up to N_ROOT_SLOTS=18 candidate E slots per 5-point
     # sample: 10 sign-change brackets + 4 Newton seeds + 4 pair siblings).
     # 5pt needs fewer inlier samples per hypothesis, has no planar
-    # degeneracy, and measured 0.66-0.94x the cv2-oracle ATE on the
-    # fair-lateral scenes at the pipeline config. Since the pivoted
-    # Gauss-Jordan elimination replaced XLA's LU loop (five_point.py
-    # _solve_pivoted), the throughput cost is modest (516 vs 635 frames/s
-    # at iters=128 on the TPU bench), so the PIPELINE default (VoConfig)
+    # degeneracy, and measured 0.35-0.95x the cv2-oracle ATE across the
+    # fair lateral AND forward scenes at the pipeline config (see
+    # VoConfig.ransac for the full table). Since the pivoted Gauss-Jordan
+    # elimination replaced XLA's LU loop (five_point.py _solve_pivoted),
+    # the throughput cost is modest, so the PIPELINE default (VoConfig)
     # runs 5pt — full reference parity. This low-level default stays 8pt
     # for direct RansacConfig() users who want the linear fast path at
     # OpenCV's max iteration count.
@@ -110,9 +123,9 @@ def ransac_essential(
         precise points (Efraimidis-Spirakis weighted top-k of uniforms:
         u^(1/w) keys). None = uniform (exact OpenCV semantics).
 
-    Returns RansacResult. The winning hypothesis is refit `refine_rounds`
-    times by weighted 8-point on its inlier set (OpenCV refines the final
-    model similarly), then rank-2-projected.
+    Returns RansacResult. The winning hypothesis is refined `refine_rounds`
+    times on its inlier set by `config.refit_method` — on-manifold
+    Gauss-Newton on the Sampson residual by default (see RansacConfig).
     """
     n = pts1.shape[0]
     if mask is None:
@@ -190,14 +203,11 @@ def ransac_essential(
     best_count = counts[best]
     best_e = hyps[best]
 
-    # --- iterative refit on the consensus set ---------------------------
-    # Sampson-IRLS: weighting each row by 1/sqrt(gradient-norm) makes the
-    # weighted algebraic least squares a first-order approximation of the
-    # geometric (Sampson) minimizer — same effect as OpenCV's final
-    # refinement, but as two fixed matmul/eigh rounds instead of an LM loop.
-    # The carry is always ON the essential manifold and the loop is monotone
-    # in post-projection inlier count. Scoring the raw linear refit instead is
-    # a trap: on near-planar scenes it drifts inside the degenerate
+    # --- iterative refinement on the consensus set ----------------------
+    # Two algorithms (see RansacConfig.refit_method). Both carries stay ON
+    # the essential manifold and both loops are monotone in post-update
+    # inlier count. Scoring a raw linear refit instead is a trap: on
+    # near-planar scenes it drifts inside the degenerate
     # (homography-consistent) family — it can keep a 100-inlier consensus as
     # a non-essential matrix that collapses to ~25 inliers once projected
     # (measured before this guard).
@@ -221,11 +231,53 @@ def ransac_essential(
         inl_new = jnp.where(better, inl_new, inl)
         return (e_new, inl_new), None
 
+    def gn_round(carry, _):
+        """One damped Gauss-Newton step on the Sampson residual, on-manifold.
+
+        Parametrization E(d) = exp(hat d[:3]) E exp(hat d[3:])^T: left/right
+        rotations preserve the singular values, so every iterate is exactly
+        an essential matrix — no rank-2 re-projection, hence none of the
+        consensus-collapse risk the linear refit has. The 6-dof chart
+        over-covers the 5-dim tangent space by one redundant direction
+        (twisting both frames about the translation axis); the LM damping
+        below absorbs the resulting null direction.
+        """
+        from .lie import so3_exp
+
+        e, inl = carry
+        w = inl.astype(pts1.dtype) * mask_f
+        if inv_sigma is not None:
+            w = w * inv_sigma
+
+        def residual(d):
+            e_d = so3_exp(d[:3]) @ e @ so3_exp(d[3:]).T
+            num, denom = sampson_parts(e_d, pts1, pts2)
+            return w * num * jax.lax.rsqrt(jnp.maximum(denom, 1e-18))
+
+        zero = jnp.zeros((6,), pts1.dtype)
+        r0 = residual(zero)
+        jac = jax.jacfwd(residual)(zero)  # [N, 6]
+        jtj = jac.T @ jac
+        damp = 1e-6 * (jnp.trace(jtj) / 6.0) + 1e-12
+        delta = jnp.linalg.solve(
+            jtj + damp * jnp.eye(6, dtype=pts1.dtype), -(jac.T @ r0)
+        )
+        delta = jnp.where(jnp.all(jnp.isfinite(delta)), delta, jnp.zeros_like(delta))
+        e_new = so3_exp(delta[:3]) @ e @ so3_exp(delta[3:]).T
+        err = sampson_error(e_new, pts1, pts2)
+        inl_new = (err < thresh_sq) & mask
+        better = jnp.sum(inl_new.astype(jnp.int32)) >= jnp.sum(inl.astype(jnp.int32))
+        e_new = jnp.where(better, e_new, e)
+        inl_new = jnp.where(better, inl_new, inl)
+        return (e_new, inl_new), None
+
     start_e = enforce_rank2(best_e)
     start_err = sampson_error(start_e, pts1, pts2)
     start_inliers = (start_err < thresh_sq) & mask
+    rounds = 0 if config.refit_method == "none" else config.refine_rounds
+    step_fn = gn_round if config.refit_method == "gn" else refit
     (final_e, final_inliers), _ = jax.lax.scan(
-        refit, (start_e, start_inliers), None, length=config.refine_rounds
+        step_fn, (start_e, start_inliers), None, length=rounds
     )
 
     return RansacResult(

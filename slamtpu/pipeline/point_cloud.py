@@ -965,26 +965,31 @@ def run_point_cloud_fused(
         step_outs.append(outs)
         res_list.append(res)
 
+    from ..utils.fetch import fetch_packed
+
     if step_outs:  # empty for single-frame clips (keyframe 0 only)
-        # One host sync at the end: everything above queued asynchronously.
-        # Concatenate on device first — each device->host fetch is a
-        # synchronous round trip, so fetching chunks x leaves separately
-        # costs ~10x more round trips than one fetch per leaf.
-        outs = jax.tree_util.tree_map(
-            lambda *xs: np.asarray(
-                xs[0] if len(xs) == 1 else jnp.concatenate(xs, axis=0)
-            ),
+        # ONE host sync at the end: everything above queued asynchronously.
+        # Concatenate on device first, then fetch the whole result — outputs
+        # plus the final map state — as a single packed buffer: on the
+        # tunneled runtime every separate leaf fetch is a ~35 ms round trip,
+        # and this result has ~20 leaves (utils/fetch.py).
+        outs_dev = jax.tree_util.tree_map(
+            lambda *xs: xs[0] if len(xs) == 1 else jnp.concatenate(xs, axis=0),
             *step_outs,
         )
-        rot_all = np.asarray(jnp.concatenate([r.rotations for r in res_list]))
-        trans_all = np.asarray(jnp.concatenate([r.translations for r in res_list]))
-        iskf_all = np.asarray(jnp.concatenate([r.is_keyframe for r in res_list]))
-        successful = int(
-            np.asarray(sum(jnp.sum(r.success) for r in res_list))
-        )
+        outs, rot_all, trans_all, iskf_all, n_success, map_np = fetch_packed((
+            outs_dev,
+            jnp.concatenate([r.rotations for r in res_list]),
+            jnp.concatenate([r.translations for r in res_list]),
+            jnp.concatenate([r.is_keyframe for r in res_list]),
+            sum(jnp.sum(r.success) for r in res_list),
+            carry2.map_state,
+        ))
+        successful = int(n_success)
     else:
         outs = None
         rot_all = trans_all = iskf_all = None
+        map_np = fetch_packed(carry2.map_state)
 
     recon = _phase2_host_reconstruct(
         outs, rot_all, trans_all, iskf_all, trajectory, config,
@@ -993,7 +998,7 @@ def run_point_cloud_fused(
     kf_rots, kf_trans, kf_frames, obs_tuple, ba_runs = recon
 
     return PointCloudResult(
-        map_state=jax.tree_util.tree_map(np.asarray, carry2.map_state),
+        map_state=map_np,
         trajectory=trajectory,
         keyframe_rotations=np.stack(kf_rots),
         keyframe_translations=np.stack(kf_trans),

@@ -64,11 +64,13 @@ class VoConfig:
     # pose.rs:64-73) at 64 static hypotheses — the jit-compatible
     # equivalent of OpenCV's adaptive RANSAC at confidence 0.999, which
     # terminates after ~24-38 iterations at the 70-75% inlier ratios this
-    # pipeline sees; 64 covers that with >1.7x margin. Measured sweep
-    # (TPU bench fps / 160-frame / 80-frame fair-lateral ATE vs the
-    # cv2-oracle pipeline): iters=128 516 fps, 0.66x / 0.94x; iters=96
-    # 547 fps, 0.74x / 0.79x; iters=64 606 fps, 0.80x / 0.73x — all far
-    # inside the 1.01x north star, so the default takes the throughput.
+    # pipeline sees; 64 covers that with >1.7x margin — plus the
+    # on-manifold GN Sampson polish (RansacConfig.refit_method="gn").
+    # Measured at this exact config: TPU bench 606 frames/s/chip, 100%
+    # success, 0.077 deg median rot err; ATE vs the cv2-oracle pipeline
+    # 0.624x/0.627x (80/160-frame fair-lateral) and 0.349x/0.951x
+    # (80/160-frame fair-forward corridor) — every gate inside the 1.01x
+    # north star with the SAME config that posts the throughput.
     ransac: RansacConfig = RansacConfig(iters=64, min_solver="5pt")
     keyframe: KeyframeConfig = KeyframeConfig()
     match_ratio: float = 2.0

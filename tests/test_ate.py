@@ -62,6 +62,26 @@ def _fair_scene(n_frames):
     )
 
 
+def _fair_forward_scene(n_frames):
+    """Forward corridor — the KITTI regime (epipole IN-IMAGE), built with the
+    same fairness discipline as the lateral scene: camera-frame motion
+    (0.12, 0.06, 1.0) keeps the epipole inside the view but off the pixel
+    grid axes, textured sprites, 1.5 px noise."""
+    return render_sequence(
+        n_frames=n_frames,
+        height=480,
+        width=640,
+        n_points=3000,
+        step=0.3,
+        yaw_rate=0.003,
+        seed=21,
+        noise=1.5,
+        motion="forward",
+        forward_dir=(0.12, 0.06, 1.0),
+        textured=True,
+    )
+
+
 @pytest.fixture(scope="module")
 def fair_lateral_scene():
     return _fair_scene(N_FRAMES)
@@ -95,13 +115,37 @@ def _ate_vs_oracle(scene, run):
 
 def test_ate_north_star_fast_tier():
     """Default-tier gate: SAME config, SAME gate math as the full 160-frame
-    test below, on an 80-frame clip (measured ratio 0.725)."""
+    test below, on an 80-frame clip (measured ratio 0.624 with the
+    on-manifold GN consensus polish; 0.845 with the round-2 IRLS refit)."""
     scene = _fair_scene(80)
     run = run_vo(scene.frames, scene.intrinsics, UNIFIED, chunk_size=32, seed=0)
     common, n_pairs, ate_ours, ate_oracle = _ate_vs_oracle(scene, run)
     assert run.successful_frames >= 0.95 * n_pairs
     assert len(common) >= 0.85 * n_pairs
     print(f"\nfast-tier ATE: ours {ate_ours:.4f} vs oracle {ate_oracle:.4f}")
+    assert ate_ours / len(common) < 0.2
+    assert ate_ours <= 1.01 * ate_oracle, (
+        f"ours {ate_ours:.4f} vs reference {ate_oracle:.4f} "
+        f"(ratio {ate_ours / max(ate_oracle, 1e-12):.3f} > 1.01)"
+    )
+
+
+def test_ate_forward_corridor_fast_tier():
+    """Forward-motion tight gate (VERDICT r2 item 4) at the SAME unified
+    config and SAME 1.01x gate math as the lateral gates — retiring the
+    `1.25x + 0.05*path` slack that used to cover this regime. The forward
+    corridor (epipole in-image) is where the reference comparison was most
+    at risk; measured ratio 0.349: the cv2 oracle keeps the best minimal
+    5-point model un-polished, while the GN Sampson polish cuts per-pair
+    variance without the old IRLS refit's correlated direction bias (bias
+    composes ~N over a trajectory, unbiased noise ~sqrt(N) — the IRLS refit
+    measured 1.14x here despite BETTER per-pair medians)."""
+    scene = _fair_forward_scene(80)
+    run = run_vo(scene.frames, scene.intrinsics, UNIFIED, chunk_size=32, seed=0)
+    common, n_pairs, ate_ours, ate_oracle = _ate_vs_oracle(scene, run)
+    assert run.successful_frames >= 0.95 * n_pairs
+    assert len(common) >= 0.85 * n_pairs
+    print(f"\nforward fast-tier ATE: ours {ate_ours:.4f} vs oracle {ate_oracle:.4f}")
     assert ate_ours / len(common) < 0.2
     assert ate_ours <= 1.01 * ate_oracle, (
         f"ours {ate_ours:.4f} vs reference {ate_oracle:.4f} "
@@ -145,7 +189,27 @@ def test_ate_within_north_star(fair_lateral_scene, fair_run):
     # Absolute sanity: the composed drift stays a small fraction of path.
     assert ate_ours / path_len < 0.2, f"ATE {ate_ours:.3f} over {path_len:.0f} steps"
     # The north-star bound: at most 1% worse than the reference pipeline.
-    # (Measured 0.798x with the unified config — comfortably better.)
+    # (Measured 0.627x with the unified config + GN consensus polish;
+    # 0.798x with the round-2 IRLS refit.)
+    assert ate_ours <= 1.01 * ate_oracle, (
+        f"ours {ate_ours:.4f} vs reference {ate_oracle:.4f} "
+        f"(ratio {ate_ours / max(ate_oracle, 1e-12):.3f} > 1.01)"
+    )
+
+
+@pytest.mark.slow
+def test_ate_forward_corridor_within_north_star():
+    """Full-size (160-frame) forward-corridor gate: same config and gate
+    math as the fast tier above. Measured ratio 0.951 — the margin narrows
+    with horizon (yaw drift integrates for both pipelines) but stays under
+    the north star on the regime where the round-2 build was unmeasured."""
+    scene = _fair_forward_scene(N_FRAMES)
+    run = run_vo(scene.frames, scene.intrinsics, UNIFIED, chunk_size=32, seed=0)
+    common, n_pairs, ate_ours, ate_oracle = _ate_vs_oracle(scene, run)
+    assert run.successful_frames >= 0.95 * n_pairs
+    assert len(common) >= 0.9 * n_pairs
+    print(f"\nforward 160 ATE: ours {ate_ours:.4f} vs oracle {ate_oracle:.4f}")
+    assert ate_ours / len(common) < 0.2
     assert ate_ours <= 1.01 * ate_oracle, (
         f"ours {ate_ours:.4f} vs reference {ate_oracle:.4f} "
         f"(ratio {ate_ours / max(ate_oracle, 1e-12):.3f} > 1.01)"

@@ -299,3 +299,40 @@ def test_zero_valid_projections_scores_inf(cam):
     )
     err = compute_total_error(cam, rot, trans, pts, obs)
     assert np.isinf(float(err))
+
+
+def test_onehot_segment_method_matches_scatter(rng):
+    """ba_solve's one-hot matmul assembly (the TPU hot path: indicator
+    matrices built once per solve, every per-pose/per-landmark reduction one
+    MXU matmul) must be numerically equivalent to the scatter-add path —
+    same problem, same shapes, so the only difference is floating-point
+    summation order inside the reductions."""
+    from slamtpu.mapping.bundle_adjustment import BaConfig
+
+    cam, _, _, noisy_poses, noisy_points, observations = make_ba_problem(
+        rng, n_poses=5, n_points=24
+    )
+    rot = jnp.asarray(np.stack([p[0] for p in noisy_poses]))
+    trans = jnp.asarray(np.stack([p[1] for p in noisy_poses]))
+    pts = jnp.asarray(np.stack(noisy_points))
+    obs = ObservationBatch.from_list(observations)
+
+    out_scatter = ba_solve(
+        cam, rot, trans, pts, obs, BaConfig(max_iterations=4),
+        segment_method="scatter",
+    )
+    out_onehot = ba_solve(
+        cam, rot, trans, pts, obs, BaConfig(max_iterations=4),
+        segment_method="onehot",
+    )
+    np.testing.assert_allclose(
+        np.asarray(out_onehot[0]), np.asarray(out_scatter[0]), rtol=0, atol=1e-6
+    )
+    np.testing.assert_allclose(
+        np.asarray(out_onehot[1]), np.asarray(out_scatter[1]), rtol=0, atol=1e-5
+    )
+    np.testing.assert_allclose(
+        np.asarray(out_onehot[2]), np.asarray(out_scatter[2]), rtol=0, atol=1e-4
+    )
+    err_s, err_o = float(out_scatter[3]), float(out_onehot[3])
+    assert abs(err_s - err_o) <= 1e-6 * max(err_s, 1.0), (err_s, err_o)

@@ -141,8 +141,13 @@ def test_ransac_5pt_near_planar_scene(rng):
     assert valid5
     assert rot5 < 1.0, (rot5, rot8)
     assert t5 < 5.0, (t5, t8)
-    # The robustness win itself (measured gap: ~0.2 vs ~5 deg rotation).
-    assert rot5 < 0.5 * rot8, (rot5, rot8)
+    # The robustness win: 5pt must never be meaningfully WORSE than 8pt
+    # here. (Before the on-manifold GN consensus polish the measured gap
+    # was ~0.2 vs ~5 deg — the old IRLS refit could not rescue the 8pt
+    # minimal solver's planar degeneracy; the GN polish does, so both paths
+    # now land ~0.05 deg and the original `rot5 < 0.5 * rot8` margin is
+    # obsolete. Keep an absolute floor plus a no-worse bound instead.)
+    assert rot5 < rot8 + 0.1, (rot5, rot8)
 
 
 def test_ransac_5pt_small_match_count(rng):

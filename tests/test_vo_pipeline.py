@@ -138,7 +138,12 @@ def test_trajectory_against_cv2_oracle(scene, vo_result):
     ate_oracle = np.sqrt(np.mean(np.sum((oracle - gt) ** 2, axis=1)))
     path_len = float(len(common))
     assert ate_ours / path_len < 0.10, f"ours ATE {ate_ours:.3f} over {path_len}"
-    assert ate_ours <= 1.25 * ate_oracle + 0.05 * path_len, (
+    # Tight gate (VERDICT r2 item 4 retired the 1.25x + 0.05*path slack):
+    # the oracle's own ATE on this short low-res clip is noisy, so a small
+    # absolute cushion (1% of path) absorbs seed-level RANSAC variance; the
+    # primary forward-regime gates live in tests/test_ate.py at a strict
+    # 1.01x on the fair 80/160-frame corridors.
+    assert ate_ours <= 1.01 * ate_oracle + 0.01 * path_len, (
         f"ours {ate_ours:.3f} vs oracle {ate_oracle:.3f}"
     )
 
