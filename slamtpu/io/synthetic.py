@@ -126,7 +126,22 @@ def orbit_path(n_frames: int, radius: float = 15.0, angle_step: float = 0.004):
     return rotations, translations
 
 
-def _splat_sprites(img, dep, idxs, u, v, z, radius, intensities, tex):
+def _bilinear(img, y, x):
+    """Bilinear sample img [H, W] float64 at float coords (clipped)."""
+    h, w = img.shape
+    y = np.clip(y, 0.0, h - 1.000001)
+    x = np.clip(x, 0.0, w - 1.000001)
+    y0 = y.astype(np.int64)
+    x0 = x.astype(np.int64)
+    fy, fx = y - y0, x - x0
+    a = img[y0, x0]
+    b = img[y0, x0 + 1]
+    c = img[y0 + 1, x0]
+    d = img[y0 + 1, x0 + 1]
+    return (a * (1 - fx) + b * fx) * (1 - fy) + (c * (1 - fx) + d * fx) * fy
+
+
+def _splat_sprites(img, dep, idxs, u, v, z, radius, intensities, tex, tex_img=None):
     """Max-paste Gaussian sprites into one frame.
 
     Bit-exact vectorization of the per-sprite loop this replaces (the loop
@@ -140,8 +155,13 @@ def _splat_sprites(img, dep, idxs, u, v, z, radius, intensities, tex):
 
     img: [H, W] float32 (mutated); dep: optional [H, W] float32 depth
     (mutated); idxs: visible sprite indices, ascending; u/v/z/radius:
-    per-sprite float64 projections; tex: optional (k, phi, rk) texture
-    params.
+    per-sprite float64 projections; tex: optional (k, phi, rk) procedural
+    texture params; tex_img: optional (image01, cx, cy, ps) REAL-photo
+    texture — each sprite is a fronto-parallel billboard carrying the
+    image patch centered at (cx_i, cy_i): window offset w (in sprite sigma
+    units w/rr) maps to source offset (w/rr)*ps_i, so the source footprint
+    is a fixed +-3*ps_i pixels and approach/recede re-samples the SAME real
+    patch at higher/lower resolution, exactly like a textured billboard.
     """
     height, width = img.shape
     if idxs.size == 0:
@@ -181,7 +201,17 @@ def _splat_sprites(img, dep, idxs, u, v, z, radius, intensities, tex):
         rr = np.maximum(radius[gi], 0.7)
         d2 = (wy * wy)[:, :, None] + (wx * wx)[:, None, :]  # [G, S, S]
         splat = np.exp(-d2 / (2.0 * rr * rr)[:, None, None])
-        if tex is not None:
+        if tex_img is not None:
+            timg, tcx, tcy, tps = tex_img
+            scale = (tps[gi] / rr)[:, None, None]
+            sy = tcy[gi][:, None, None] + wy[:, :, None] * scale
+            sx = tcx[gi][:, None, None] + wx[:, None, :] * scale
+            # Real patches are arbitrary; keep the Gaussian envelope so
+            # sprites stay localized, floor the modulation so every sprite
+            # still splats something.
+            pattern = 0.15 + 0.85 * _bilinear(timg, sy, sx)
+            splat = splat * pattern
+        elif tex is not None:
             tex_k, tex_phi, tex_rk = tex
             ang = np.arctan2(wy[:, :, None], wx[:, None, :])
             rad = np.sqrt(d2) / rr[:, None, None]
@@ -229,6 +259,7 @@ def render_sequence(
     lateral_dir: tuple = (1.0, 0.0, 0.0),
     forward_dir: tuple = (0.0, 0.0, 1.0),
     textured: bool = False,
+    texture_image=None,
 ) -> SyntheticScene:
     """Render a moving-camera sequence through a random landmark field.
 
@@ -242,6 +273,13 @@ def render_sequence(
     With render_depth=True, per-pixel ground-truth depth maps are produced
     alongside (depth of the sprite whose splat dominates the pixel; 0 where
     only background is visible) — the oracle for depth-fusion pipelines.
+
+    texture_image (grayscale [H, W] array, e.g. io.real.grace_hopper())
+    textures every sprite with a random patch of a REAL photograph instead
+    of the procedural angular pattern — the frames then carry genuine
+    natural-image statistics (real gradients, JPEG structure) while keeping
+    exact ground truth, narrowing the synthetic-vs-real gap the environment
+    otherwise forces (no datasets, no egress).
     """
     rng = np.random.default_rng(seed)
     cam = intrinsics or CameraIntrinsics(
@@ -317,9 +355,24 @@ def render_sequence(
     tex_phi = rng.uniform(0.0, 2 * np.pi, n_points)
     tex_rk = rng.uniform(1.5, 3.5, n_points)
 
+    tex_img = None
+    if texture_image is not None:
+        timg = np.asarray(texture_image, np.float64)
+        span = float(timg.max() - timg.min())
+        timg = (timg - timg.min()) / max(span, 1e-9)
+        th, tw = timg.shape
+        # Fixed +-3*ps source footprint per sprite (see _splat_sprites);
+        # keep the whole footprint inside the photo.
+        ps_hi = min(14.0, (min(th, tw) - 4) / 6.0)
+        ps = rng.uniform(min(6.0, ps_hi), ps_hi, n_points)
+        margin = 3.0 * ps + 1.0
+        tcy = rng.uniform(margin, th - margin)
+        tcx = rng.uniform(margin, tw - margin)
+        tex_img = (timg, tcx, tcy, ps)
+
     frames = np.full((n_frames, height, width), 96.0, np.float32)
     depths = np.zeros((n_frames, height, width), np.float32) if render_depth else None
-    tex = (tex_k, tex_phi, tex_rk) if textured else None
+    tex = (tex_k, tex_phi, tex_rk) if textured and tex_img is None else None
     for f in range(n_frames):
         p_cam = points @ rotations[f].T + translations[f]
         z = p_cam[:, 2]
@@ -333,7 +386,7 @@ def render_sequence(
             img,
             depths[f] if depths is not None else None,
             np.nonzero(inside)[0],
-            u, v, z, radius, intensities, tex,
+            u, v, z, radius, intensities, tex, tex_img,
         )
         if noise:
             img += rng.normal(0.0, noise, img.shape).astype(np.float32)
@@ -385,6 +438,18 @@ def render_sequence_cached(cache_dir: str = None, **kwargs) -> SyntheticScene:
     bound = inspect.signature(render_sequence).bind(**kwargs)
     bound.apply_defaults()
     resolved = bound.arguments
+    # texture_image: hash the pixels (arrays are not JSON-serializable);
+    # drop it entirely when unset so pre-existing cache keys stay valid.
+    if resolved.get("texture_image") is None:
+        resolved.pop("texture_image", None)
+    else:
+        arr = np.ascontiguousarray(np.asarray(resolved["texture_image"]))
+        resolved["texture_image"] = [
+            "ndarray",
+            list(arr.shape),
+            str(arr.dtype),
+            hashlib.sha256(arr.tobytes()).hexdigest()[:20],
+        ]
     key_src = json.dumps(
         {
             "v": _RENDER_VERSION,
