@@ -24,7 +24,9 @@ for f in tests/test_*.py; do
   for attempt in $(seq 0 "$MAX_RETRY"); do
     python -m pytest "$f" -q -p no:cacheprovider "${MARKER_ARGS[@]}" "$@"
     rc=$?
-    if [ "$rc" -eq 0 ]; then
+    if [ "$rc" -eq 0 ] || [ "$rc" -eq 5 ]; then
+      # rc=5 = "no tests collected": an all-slow file filtered out by the
+      # fast tier (e.g. test_distributed.py) is a pass, not a failure.
       ok=1
       break
     elif [ "$rc" -eq 130 ] || [ "$rc" -eq 2 ]; then
