@@ -91,6 +91,9 @@ def _enable_compile_cache(jax):
 
 def main():
     t_total = int(os.environ.get("BENCH_FRAMES", "257"))
+    # 32 steps/chunk = 32-frame detect batches: the TPU detector's safe
+    # batch envelope is 32 frames/program (33+ hard-crashes the v5e worker —
+    # see slamtpu/feature/detector.py module note).
     chunk = int(os.environ.get("BENCH_CHUNK", "32"))
     # KITTI odometry camera size; overridable for fast plumbing smoke tests
     # on CPU (the recorded numbers always use the defaults).
@@ -102,11 +105,11 @@ def main():
     _enable_compile_cache(jax)
     log(f"devices: {jax.devices()}")
 
-    from slamtpu.feature.detector import OrbConfig, detect_and_compute
+    from slamtpu.feature.detector import OrbConfig
     from slamtpu.io.synthetic import render_sequence_cached
     from slamtpu.mapping.keyframe import KeyframeState
     from slamtpu.odometry.camera import CameraIntrinsics
-    from slamtpu.pipeline.vo import VoConfig, vo_chunk
+    from slamtpu.pipeline.vo import VoConfig, seed_features, vo_chunk
 
     log(f"rendering {t_total} synthetic KITTI-sized frames ({height}x{width})...")
     t0 = time.time()
@@ -153,6 +156,11 @@ def main():
     if not any(k in os.environ for k in ("BENCH_SOLVER", "BENCH_ITERS", "BENCH_PRESCORE")):
         assert config == VoConfig(), "bench default drifted from the unified VoConfig"
     cam = scene.intrinsics
+    # Masked-seed schedule (pipeline/vo.seed_features): the feature carry
+    # starts EMPTY and step 0 is masked, so the whole VO run needs exactly
+    # ONE compiled program — the separate single-frame detect compile that
+    # used to seed the carry (~13 s cold) is gone from the cold path, and
+    # no frame is detected twice (step j >= 1 is real pair j-1).
     step = jax.jit(vo_chunk, static_argnames=("config",))
 
     n_pairs = t_total - 1
@@ -162,15 +170,23 @@ def main():
     # PRNG seed: the runtime memoizes identical executions, so a verbatim
     # repeat would measure dispatch only.
     n_passes = max(int(os.environ.get("BENCH_PASSES", "2")), 1)
-    pass_keys = [
-        jax.random.split(jax.random.PRNGKey(p), n_pairs) for p in range(n_passes)
-    ]
+    # Per-pass STEP keys: step 0 is the masked seed step (key unused), step
+    # j >= 1 carries pair j-1's key.
+    pass_keys = []
+    for p in range(n_passes):
+        pk = jax.random.split(jax.random.PRNGKey(p), n_pairs)
+        pass_keys.append(jax.numpy.concatenate([pk[:1], pk], axis=0))
     keys = pass_keys[0]
+    np.asarray(keys[0])  # force key generation before the timed compile
+    log("keys ready; compiling VO chunk program...")
 
-    feats0 = jax.tree_util.tree_map(
-        lambda x: x[0], detect_and_compute(frames[:1], config.orb)
+    carry = (
+        seed_features(config.orb),
+        KeyframeState.initial(),
+        jax.numpy.eye(4, dtype=jax.numpy.float32),
     )
-    carry = (feats0, KeyframeState.initial(), jax.numpy.eye(4, dtype=jax.numpy.float32))
+    mask_first = np.arange(chunk) >= 1  # step 0 = masked seed step
+    mask_all = np.ones((chunk,), bool)
 
     def force(x):
         """Real synchronization: on the axon remote platform,
@@ -178,11 +194,25 @@ def main():
         actually waits for execution."""
         return np.asarray(x)
 
-    # Warmup / compile on the first chunk.
+    # Warmup / compile on the first chunk. Report whether the persistent
+    # compile cache was pre-populated so the recorded number is labeled
+    # cold (fresh cache) or warm (cache deserialize) — VERDICT r3 item 2.
+    cache_dir = jax.config.jax_compilation_cache_dir
+    try:
+        pre_entries = len(os.listdir(cache_dir))
+    except OSError:
+        pre_entries = 0
     t0 = time.time()
-    carry, res = step(carry[0], carry[1], carry[2], frames[1 : 1 + chunk], keys[:chunk], cam, config)
+    carry, res = step(
+        carry[0], carry[1], carry[2], frames[0:chunk], keys[:chunk], cam, config,
+        mask_first,
+    )
     force(res.success)
-    log(f"compile+first chunk: {time.time() - t0:.1f}s")
+    label = "warm" if pre_entries else "cold"
+    log(
+        f"compile+first chunk: {time.time() - t0:.1f}s "
+        f"({label} persistent cache: {pre_entries} entries at start)"
+    )
 
     # Steady state over the remaining chunks (see module docstring for the
     # device-resident default vs BENCH_TRANSFER=1).
@@ -190,7 +220,8 @@ def main():
     n_steady = (n_pairs - chunk) // chunk
     assert n_steady >= 2, "increase BENCH_FRAMES"
 
-    blocks = [frames[1 + chunk + i * chunk : 1 + chunk + (i + 1) * chunk] for i in range(n_steady)]
+    # Steps == frame indices: steady chunk i covers steps [chunk+i*C, ...).
+    blocks = [frames[chunk + i * chunk : chunk + (i + 1) * chunk] for i in range(n_steady)]
     if preplaced:
         blocks = [jax.device_put(b) for b in blocks]
         force(blocks[-1][0, 0])  # wait until resident
@@ -213,6 +244,7 @@ def main():
                 pass_keys[p][start : start + chunk],
                 cam,
                 config,
+                mask_all,
             )
             results.append(res)
             done_frames += chunk
@@ -228,8 +260,9 @@ def main():
     success_all = np.concatenate([force(r.success) for r in results])
     rot_all = np.concatenate([force(r.rotations) for r in results])
     per_pass = n_steady * chunk
+    # Steady step j corresponds to pair j-1 (the masked-seed schedule).
     gt_rot = np.tile(
-        scene.rel_rotations[chunk : chunk + per_pass], (n_passes, 1, 1)
+        scene.rel_rotations[chunk - 1 : chunk - 1 + per_pass], (n_passes, 1, 1)
     )
     tr = np.einsum("tij,tij->t", rot_all, gt_rot)  # trace(R_est @ R_gt^T)
     rot_err_deg = np.degrees(np.arccos(np.clip((tr - 1.0) / 2.0, -1.0, 1.0)))
@@ -241,6 +274,27 @@ def main():
         f"(successes {int(ok.sum())}/{done_frames} = {success_rate:.1%}, "
         f"median rot err {rot_err_med:.3f} deg vs GT)"
     )
+
+    # --- roofline / MFU (VERDICT r3 item 3) ------------------------------
+    # XLA's own cost model on the optimized HLO: FLOPs + HBM bytes per
+    # chunk program, scaled by the measured rate. Tells you whether the
+    # next 2x lives in compute or memory (and how far from the MXU roof
+    # this inherently gather/compare-heavy frontend runs).
+    step_flops, step_bytes = _cost(
+        step, carry[0], carry[1], carry[2], blocks[0],
+        pass_keys[0][chunk : 2 * chunk], cam, config, mask_all,
+    )
+    if step_flops:
+        achieved = step_flops * (fps / chunk)
+        log(
+            f"roofline: VO {step_flops / chunk / 1e9:.2f} GFLOP/frame + "
+            f"{step_bytes / chunk / 1e6:.1f} MB HBM/frame "
+            f"(intensity {step_flops / max(step_bytes, 1.0):.0f} flop/byte) -> "
+            f"achieved {achieved / 1e12:.3f} TFLOP/s = "
+            f"{achieved / V5E_PEAK_BF16:.2%} of v5e bf16 peak, "
+            f"HBM {step_bytes * (fps / chunk) / 1e9:.1f} GB/s = "
+            f"{step_bytes * (fps / chunk) / V5E_HBM_BW:.1%} of bandwidth"
+        )
 
     if os.environ.get("BENCH_SECONDARY", "1") == "1":
         _secondary_metrics(jax, frames, cam, config, blocks, keys, chunk, force, log)
@@ -266,6 +320,29 @@ def main():
             }
         )
     )
+
+
+# TPU v5e per-chip peaks for MFU/roofline context (public spec: 197 TFLOP/s
+# bf16 MXU, 819 GB/s HBM). f32 work runs below the bf16 roof; the MFU figure
+# is deliberately reported against the bf16 peak so it never flatters.
+V5E_PEAK_BF16 = 197e12
+V5E_HBM_BW = 819e9
+
+
+def _cost(jitted, *args, **kwargs):
+    """(flops, bytes_accessed) from XLA's cost model for one jitted call.
+
+    Returns (0.0, 0.0) when the backend doesn't expose cost_analysis (the
+    roofline lines are then skipped). The lower+compile is cache-hit: the
+    same program was just executed.
+    """
+    try:
+        ca = jitted.lower(*args, **kwargs).compile().cost_analysis()
+        if isinstance(ca, (list, tuple)):
+            ca = ca[0]
+        return float(ca.get("flops", 0.0)), float(ca.get("bytes accessed", 0.0))
+    except Exception:
+        return 0.0, 0.0
 
 
 def _secondary_metrics(jax, frames, cam, config, blocks, keys, chunk, force, log):
@@ -305,6 +382,35 @@ def _secondary_metrics(jax, frames, cam, config, blocks, keys, chunk, force, log
         f"secondary: ORB+match {ms_frame:.2f} ms/frame "
         f"(samples {', '.join(f'{s:.2f}' for s in samples)})"
     )
+
+    # Pipelined variant: queue three chunk dispatches back-to-back, sync
+    # once — the steady-state pipeline's posture. Each single-shot sample
+    # above pays one serial dispatch->fetch round trip through the tunnel,
+    # which the pipeline overlaps with execution; that per-call latency is
+    # why the ORB+match SUBSET used to report slower than the FULL pipeline
+    # (BENCH_r03: 2.09 vs 1.65 ms/frame — VERDICT r3 weakness 4). Distinct
+    # inputs per dispatch: the runtime memoizes identical executions.
+    pipe_blocks = [jax.device_put(b) for b in blocks[3:6]]
+    force(pipe_blocks[-1][0, 0])
+    t0 = time.time()
+    outs = [orb_match(b) for b in pipe_blocks]
+    force(outs[-1])
+    ms_pipe = (time.time() - t0) / (len(pipe_blocks) * chunk) * 1000
+    log(
+        f"secondary: ORB+match pipelined {ms_pipe:.2f} ms/frame "
+        f"({len(pipe_blocks)} chunks queued, one sync — the single-shot "
+        "number above includes one serial dispatch+sync round trip per call)"
+    )
+    fl, by = _cost(orb_match, dev_blocks[0])
+    if fl:
+        rate = 1000.0 / max(ms_pipe, 1e-9)  # frames/s at the pipelined rate
+        log(
+            f"roofline: ORB+match {fl / chunk / 1e9:.2f} GFLOP/frame -> "
+            f"{fl / chunk * rate / 1e12:.3f} TFLOP/s = "
+            f"{fl / chunk * rate / V5E_PEAK_BF16:.2%} of bf16 peak, "
+            f"HBM {by / chunk * rate / 1e9:.1f} GB/s = "
+            f"{by / chunk * rate / V5E_HBM_BW:.1%} of bandwidth"
+        )
 
     # --- BA ms/iter @ 10k points ----------------------------------------
     from slamtpu.mapping.bundle_adjustment import BaConfig, ObservationBatch, ba_solve
@@ -348,6 +454,17 @@ def _secondary_metrics(jax, frames, cam, config, blocks, keys, chunk, force, log
         f"/ {pt_idx.shape[0]} observations ({iters} iters run; "
         f"samples {', '.join(f'{s:.1f}' for s in samples)})"
     )
+    fl, by = _cost(solve, jnp.asarray(rots), jnp.asarray(trans), jnp.asarray(pts))
+    if fl:
+        per_iter = fl / max(iters, 1)
+        rate = 1000.0 / max(ms_iter, 1e-9)  # iters/s
+        log(
+            f"roofline: BA {per_iter / 1e9:.2f} GFLOP/iter -> "
+            f"{per_iter * rate / 1e12:.3f} TFLOP/s = "
+            f"{per_iter * rate / V5E_PEAK_BF16:.2%} of bf16 peak, "
+            f"HBM {by / max(iters, 1) * rate / 1e9:.1f} GB/s = "
+            f"{by / max(iters, 1) * rate / V5E_HBM_BW:.1%} of bandwidth"
+        )
 
     # --- MonoDepth2 inference ms/frame ------------------------------------
     # Named in BASELINE.json ("MonoDepth2 inference ms"; the reference prints
@@ -388,6 +505,16 @@ def _secondary_metrics(jax, frames, cam, config, blocks, keys, chunk, force, log
         return float(np.median(samples)), samples
 
     ms_depth, samples = time_depth(model)
+    fl, by = _cost(model._forward, model.encoder_vars, model.decoder_vars, clips[0])
+    if fl:
+        rate = 1000.0 / max(ms_depth, 1e-9)  # frames/s
+        log(
+            f"roofline: MonoDepth2 f32 {fl / depth_batch / 1e9:.2f} GFLOP/frame -> "
+            f"{fl / depth_batch * rate / 1e12:.3f} TFLOP/s = "
+            f"{fl / depth_batch * rate / V5E_PEAK_BF16:.2%} of bf16 peak, "
+            f"HBM {by / depth_batch * rate / 1e9:.1f} GB/s = "
+            f"{by / depth_batch * rate / V5E_HBM_BW:.1%} of bandwidth"
+        )
     log(
         f"secondary: MonoDepth2 {ms_depth:.2f} ms/frame "
         f"(batch {depth_batch}, 640x192, scale-0 disparity; "

@@ -26,7 +26,11 @@ def main(argv=None):
     parser.add_argument("--cy", type=float)
     parser.add_argument("--max-features", type=int, default=1000)  # example default (:57)
     parser.add_argument("--max-frames", type=int)
-    parser.add_argument("--chunk", type=int, default=64)
+    parser.add_argument(
+        "--chunk", type=int, default=32,
+        help="frames per jit program (the TPU detector's safe batch "
+        "envelope is 32 frames/program — see feature/detector.py note)",
+    )
     parser.add_argument("--seed", type=int, default=0)
     parser.add_argument("--output", default="trajectory_output.json")
     parser.add_argument("--config", metavar="JSON", help="SlamConfig file (utils/config.py)")

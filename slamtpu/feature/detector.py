@@ -13,6 +13,17 @@ quota of keypoints (OpenCV's geometric per-level distribution); short levels
 pad with masked slots. The whole detector is one jit program: dense FAST +
 NMS + Harris maps, top-k per level, patch slicing, orientation, steered
 BRIEF — batched over a leading [B] image axis.
+
+TPU batch envelope: on the current v5e runtime, the FUSED detector program
+HARD-CRASHES the TPU worker ("worker process crashed or restarted") at
+KITTI-sized inputs once the batch exceeds 32 frames/program (33 and 34
+reproduce; <= 32 is solid). Bisected r4: every stage passes in isolation at
+batch 33 (pyramid levels, Pallas corner AND the XLA corner path, top-k,
+patches, BRIEF — and the failure reproduces with both resize-weight
+implementations), so this is a backend codegen/resource fault in the
+combined program, not any single kernel. Pipeline chunk defaults keep
+windows at 32 frames (chunk=31 pairs); respect the envelope when batching
+this detector directly.
 """
 
 from __future__ import annotations
