@@ -199,6 +199,8 @@ def ba_solve(
     pose_mask=None,
     landmark_chunk: int = 2048,
     segment_method: str = "auto",
+    schur_method: str = "dense",
+    coobs_k: int = 16,
 ):
     """Run LM with Schur elimination. Returns (rotations, translations,
     points, final_error, iterations_run).
@@ -207,6 +209,22 @@ def ba_solve(
     out-of-window poses); None = all free (except the gauge fix).
     landmark_chunk: landmarks per Schur-assembly chunk (static); bounds peak
     memory at O(P * landmark_chunk * 18) floats regardless of problem size.
+    schur_method:
+      * "dense" (default) — landmark-chunked dense Schur product: every
+        pose PAIR pays the full product, O(P^2 * L) FLOPs. Right for the
+        flagship's windows and <=256-pose global refinements, where the MXU
+        eats it in milliseconds.
+      * "coobs" — co-observation pair assembly (VERDICT r3 item 6, the
+        TPU-native analog of the reference's sparse HashMap assembly,
+        bundle_adjustment.rs:258-308): compact each landmark's observers
+        into <= coobs_k slots, form only the K^2 per-landmark [6,6] pair
+        products, and segment_sum them onto (i1, i2) pose-pair buckets —
+        O(M * coobs_k) FLOPs, independent of P^2. A landmark's observations
+        beyond coobs_k observers are DROPPED from the whole problem (mask
+        cleared before the normal equations, so the reduced system stays
+        exact); size coobs_k to the tracking window. Right for 1000+-pose
+        global BA where co-observation is sparse.
+    coobs_k: max observers kept per landmark under "coobs" (static).
     All inputs are promoted to a common float dtype; f64 recommended on CPU,
     f32 works on TPU for the problem scales the reference targets. All
     contractions run at true f32 precision (`_f32_precision`): Schur
@@ -225,6 +243,25 @@ def ba_solve(
         return rotations, translations, points, jnp.zeros((), dtype), jnp.zeros((), jnp.int32)
 
     obs = ObservationBatch(obs.kf_idx, obs.pt_idx, jnp.asarray(obs.pixels, dtype), obs.mask)
+
+    coobs_rank = None
+    if schur_method == "coobs":
+        # Per-landmark observer compaction (indices never change across LM
+        # iterations, so this runs ONCE per solve): stable-sort observations
+        # by landmark (dead rows keyed past the end), rank each observation
+        # within its landmark, and DROP ranks >= coobs_k from the problem.
+        keyed = jnp.where(obs.mask, obs.pt_idx, n_points)
+        order = jnp.argsort(keyed)
+        pt_sorted = keyed[order]
+        seg_starts = jnp.searchsorted(pt_sorted, jnp.arange(n_points))
+        rank_sorted = jnp.arange(m) - seg_starts[jnp.clip(pt_sorted, 0, n_points - 1)]
+        keep_sorted = (pt_sorted < n_points) & (rank_sorted < coobs_k)
+        keep = jnp.zeros((m,), bool).at[order].set(keep_sorted)
+        coobs_rank = jnp.zeros((m,), jnp.int32).at[order].set(
+            rank_sorted.astype(jnp.int32)
+        )
+        obs = obs._replace(mask=obs.mask & keep)
+
     free = (
         jnp.ones((n_poses,), bool) if pose_mask is None else jnp.asarray(pose_mask, bool)
     )
@@ -368,7 +405,38 @@ def ba_solve(
         # flagship and global BA run (<=256 poses x 16k landmarks).
         lc = min(n_points, landmark_chunk)
         n_chunks = -(-n_points // lc)
-        if use_onehot and n_chunks == 1:
+        if schur_method == "coobs":
+            # Co-observation pair assembly (see the docstring): scatter each
+            # live observation's coupling block into its landmark's observer
+            # slot, then form only the K^2 per-landmark pair products and
+            # segment_sum them onto (i1, i2) pose-pair buckets. O(M * K)
+            # memory, O(L * K^2 * 108) FLOPs — no P^2 * L term.
+            pt_safe = jnp.where(w > 0, obs.pt_idx, n_points)
+            wjk = (
+                jnp.zeros((n_points + 1, coobs_k, 6, 3), dtype)
+                .at[pt_safe, coobs_rank]
+                .set(u_pl, mode="drop")[:n_points]
+            )
+            pjk = (
+                jnp.full((n_points + 1, coobs_k), n_poses, jnp.int32)
+                .at[pt_safe, coobs_rank]
+                .set(obs.kf_idx, mode="drop")[:n_points]
+            )
+            tjk = jnp.einsum("lkab,lbc->lkac", wjk, h_ll_inv)
+            n_buckets = n_poses * n_poses
+            s_flat = jnp.zeros((n_buckets + 1, 36), dtype)
+            for k1 in range(coobs_k):  # static loop: K segment_sum passes
+                c = jnp.einsum("lab,lkcb->lkac", tjk[:, k1], wjk)  # [L, K, 6, 6]
+                sid = jnp.where(
+                    (pjk[:, k1, None] < n_poses) & (pjk < n_poses),
+                    pjk[:, k1, None] * n_poses + pjk,
+                    n_buckets,
+                )
+                s_flat = s_flat + jax.ops.segment_sum(
+                    c.reshape(-1, 36), sid.reshape(-1), n_buckets + 1
+                )
+            s_off = s_flat[:-1].reshape(n_poses, n_poses, 6, 6)
+        elif use_onehot and n_chunks == 1:
             # Dense one-hot W assembly: one matmul instead of a scatter-add
             # (TPU scatters serialize; this is the window-BA hot path).
             stacked = oh_pose[:, :, None] * u_pl.reshape(m, 18)[None]  # [P, M, 18]

@@ -517,6 +517,8 @@ def run_global_ba(
     intrinsics: CameraIntrinsics,
     ba_config: BaConfig | None = None,
     landmark_chunk: int = 2048,
+    schur_method: str = "auto",
+    coobs_k: int = 16,
 ):
     """Global bundle adjustment over ALL keyframes and logged observations.
 
@@ -571,12 +573,18 @@ def run_global_ba(
             jnp.asarray(points.astype(np.float32)), obs, cfg.huber_delta,
         )
     )
+    if schur_method == "auto":
+        # Past ~256 poses the dense Schur's O(P^2 * L) product dominates;
+        # the co-observation pair assembly scales with observations instead
+        # (mapping/bundle_adjustment.py ba_solve docstring).
+        schur_method = "coobs" if rot.shape[0] > 256 else "dense"
     new_rot, new_trans, new_pts, err_after, _ = ba_solve(
         intrinsics,
         jnp.asarray(rot), jnp.asarray(trans),
         jnp.asarray(points.astype(np.float32)),
         obs, cfg, fix_first_pose=False, pose_mask=jnp.asarray(pose_mask),
         landmark_chunk=landmark_chunk,
+        schur_method=schur_method, coobs_k=coobs_k,
     )
 
     positions = np.asarray(result.map_state.positions).copy()

@@ -9,6 +9,7 @@ from scipy.spatial.transform import Rotation
 
 from slamtpu import BundleAdjuster, CameraIntrinsics, Observation
 from slamtpu.mapping.bundle_adjustment import (
+    BaConfig,
     ObservationBatch,
     ba_solve,
     compute_total_error,
@@ -202,6 +203,104 @@ def test_landmark_chunked_schur_matches_unchunked(rng):
         np.testing.assert_allclose(outs[chunk][1], outs[64][1], atol=1e-8)
         np.testing.assert_allclose(outs[chunk][2], outs[64][2], atol=1e-8)
         assert abs(outs[chunk][3] - outs[64][3]) < 1e-6
+
+
+def test_coobs_schur_matches_dense(rng):
+    """The co-observation pair assembly (schur_method="coobs") is the same
+    algebra as the dense product whenever no landmark exceeds coobs_k
+    observers — solutions must agree to float tolerance."""
+    cam, _, _, noisy_poses, noisy_points, observations = make_ba_problem(
+        rng, n_poses=5, n_points=23
+    )
+    rot = jnp.asarray(np.stack([p[0] for p in noisy_poses]))
+    trans = jnp.asarray(np.stack([p[1] for p in noisy_poses]))
+    pts = jnp.asarray(np.stack(noisy_points))
+    obs = ObservationBatch.from_list(observations)
+    dense = ba_solve(cam, rot, trans, pts, obs, schur_method="dense")
+    coobs = ba_solve(cam, rot, trans, pts, obs, schur_method="coobs", coobs_k=16)
+    np.testing.assert_allclose(np.asarray(coobs[0]), np.asarray(dense[0]), atol=1e-8)
+    np.testing.assert_allclose(np.asarray(coobs[1]), np.asarray(dense[1]), atol=1e-8)
+    np.testing.assert_allclose(np.asarray(coobs[2]), np.asarray(dense[2]), atol=1e-8)
+    assert abs(float(coobs[3]) - float(dense[3])) < 1e-6
+
+
+def test_coobs_overflow_drops_observations(rng):
+    """With coobs_k smaller than a landmark's observer count, the overflow
+    observations are dropped from the WHOLE problem (not just the coupling),
+    so the solve equals a dense solve on the manually truncated set."""
+    cam, _, _, noisy_poses, noisy_points, observations = make_ba_problem(
+        rng, n_poses=5, n_points=23
+    )
+    rot = jnp.asarray(np.stack([p[0] for p in noisy_poses]))
+    trans = jnp.asarray(np.stack([p[1] for p in noisy_poses]))
+    pts = jnp.asarray(np.stack(noisy_points))
+    obs = ObservationBatch.from_list(observations)
+    k = 2
+    # Manual truncation: keep each landmark's first k observations in order.
+    seen: dict = {}
+    keep = np.zeros(len(observations), bool)
+    for i, o in enumerate(observations):
+        c = seen.get(o.point_idx, 0)
+        if c < k:
+            keep[i] = True
+        seen[o.point_idx] = c + 1
+    trunc = ObservationBatch(
+        obs.kf_idx, obs.pt_idx, obs.pixels, obs.mask & jnp.asarray(keep)
+    )
+    coobs = ba_solve(cam, rot, trans, pts, obs, schur_method="coobs", coobs_k=k)
+    dense = ba_solve(cam, rot, trans, pts, trunc, schur_method="dense")
+    np.testing.assert_allclose(np.asarray(coobs[0]), np.asarray(dense[0]), atol=1e-8)
+    np.testing.assert_allclose(np.asarray(coobs[2]), np.asarray(dense[2]), atol=1e-8)
+
+
+@pytest.mark.slow
+def test_coobs_global_scale(rng):
+    """Global-BA scale under the co-observation assembly: 400 poses x 20k
+    landmarks x ~80k observations, band-limited co-observation (each
+    landmark seen by <= 6 consecutive poses). Two LM iterations must run
+    (the dense path's O(P^2 L) product would be ~100x the FLOPs here) and
+    cut the error."""
+    n_poses, n_points = 400, 20_000
+    cam = CameraIntrinsics(500.0, 500.0, 320.0, 240.0)
+    gt = np.stack(
+        [
+            rng.uniform(-10, 130, n_points),
+            rng.uniform(-5, 5, n_points),
+            rng.uniform(8, 40, n_points),
+        ],
+        1,
+    )
+    # Each landmark observed by up to 6 consecutive poses near its x position.
+    kf, pt, px = [], [], []
+    for j in range(n_points):
+        base = int(np.clip(gt[j, 0] / 0.3, 0, n_poses - 6))
+        for i in range(base, base + rng.integers(2, 7)):
+            t = np.array([0.3 * i, 0.0, 0.0])
+            p = gt[j] - t  # identity rotations; camera at t looking +z
+            if p[2] < 1.0:
+                continue
+            kf.append(i)
+            pt.append(j)
+            px.append([cam.fx * p[0] / p[2] + cam.cx, cam.fy * p[1] / p[2] + cam.cy])
+    obs = ObservationBatch(
+        jnp.asarray(kf, jnp.int32),
+        jnp.asarray(pt, jnp.int32),
+        jnp.asarray(np.array(px), jnp.float32),
+        jnp.ones((len(kf),), bool),
+    )
+    rot = jnp.asarray(np.tile(np.eye(3, dtype=np.float32), (n_poses, 1, 1)))
+    trans = jnp.asarray(
+        np.stack([[-0.3 * i, 0.0, 0.0] for i in range(n_poses)]).astype(np.float32)
+        + rng.normal(scale=0.02, size=(n_poses, 3)).astype(np.float32)
+    )
+    pts = jnp.asarray((gt + rng.normal(scale=0.2, size=gt.shape)).astype(np.float32))
+    err0 = float(compute_total_error(cam, rot, trans, pts, obs))
+    r, t, x, err, it = ba_solve(
+        cam, rot, trans, pts, obs,
+        BaConfig(max_iterations=2), schur_method="coobs", coobs_k=8,
+    )
+    assert np.isfinite(float(err))
+    assert float(err) < 0.5 * err0, f"{err0:.1f} -> {float(err):.1f}"
 
 
 def test_global_scale_ba_memory_bounded(rng):
