@@ -260,6 +260,8 @@ def render_sequence(
     forward_dir: tuple = (0.0, 0.0, 1.0),
     textured: bool = False,
     texture_image=None,
+    repeat_texture: int = 0,
+    motion_blur: float = 0.0,
 ) -> SyntheticScene:
     """Render a moving-camera sequence through a random landmark field.
 
@@ -280,6 +282,15 @@ def render_sequence(
     natural-image statistics (real gradients, JPEG structure) while keeping
     exact ground truth, narrowing the synthetic-vs-real gap the environment
     otherwise forces (no datasets, no egress).
+
+    Degradation knobs (the low-inlier robustness regime, VERDICT r3 item 5):
+      * repeat_texture > 0 — sprites draw their texture identity from a
+        pool of only that many distinct patterns (repeated texture:
+        descriptors become ambiguous, Hamming matching produces genuine
+        OUTLIER matches — brick walls / windows / foliage in the wild).
+      * motion_blur > 0 — horizontal box blur of that many pixels applied
+        to every frame (camera shake / fast motion), washing out FAST
+        corners and blurring descriptors.
     """
     rng = np.random.default_rng(seed)
     cam = intrinsics or CameraIntrinsics(
@@ -354,6 +365,15 @@ def render_sequence(
     tex_k = rng.integers(2, 6, n_points)
     tex_phi = rng.uniform(0.0, 2 * np.pi, n_points)
     tex_rk = rng.uniform(1.5, 3.5, n_points)
+    if repeat_texture and repeat_texture > 0:
+        # Repeated-texture degradation: only `repeat_texture` distinct
+        # identities; intensity pooled too (brightness otherwise still
+        # disambiguates sprites through the BRIEF comparisons).
+        pool = rng.integers(0, repeat_texture, n_points)
+        tex_k = tex_k[pool]
+        tex_phi = tex_phi[pool]
+        tex_rk = tex_rk[pool]
+        intensities = intensities[pool]
 
     tex_img = None
     if texture_image is not None:
@@ -388,6 +408,15 @@ def render_sequence(
             np.nonzero(inside)[0],
             u, v, z, radius, intensities, tex, tex_img,
         )
+        if motion_blur and motion_blur > 1.0:
+            # Horizontal box blur (optical, so applied before sensor noise).
+            k = int(round(motion_blur))
+            pad = np.pad(img, ((0, 0), (k // 2, k - 1 - k // 2)), mode="edge")
+            c = np.concatenate(
+                [np.zeros((img.shape[0], 1)), np.cumsum(pad, axis=1, dtype=np.float64)],
+                axis=1,
+            )
+            img[:, :] = ((c[:, k:] - c[:, :-k]) / k).astype(np.float32)
         if noise:
             img += rng.normal(0.0, noise, img.shape).astype(np.float32)
 
