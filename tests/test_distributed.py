@@ -19,8 +19,7 @@ def _free_port():
         return s.getsockname()[1]
 
 
-@pytest.mark.slow
-def test_two_process_sharded_vo_matches_serial():
+def _run_pair(extra_args, timeout):
     port = _free_port()
     env = {
         k: v
@@ -30,7 +29,7 @@ def test_two_process_sharded_vo_matches_serial():
     }
     procs = [
         subprocess.Popen(
-            [sys.executable, WORKER, str(pid), "2", str(port)],
+            [sys.executable, WORKER, str(pid), "2", str(port), *extra_args],
             stdout=subprocess.PIPE,
             stderr=subprocess.STDOUT,
             text=True,
@@ -40,8 +39,21 @@ def test_two_process_sharded_vo_matches_serial():
     ]
     outs = []
     for p in procs:
-        out, _ = p.communicate(timeout=1500)
+        out, _ = p.communicate(timeout=timeout)
         outs.append(out)
     for pid, (p, out) in enumerate(zip(procs, outs)):
         assert p.returncode == 0, f"worker {pid} failed:\n{out[-4000:]}"
         assert f"DISTRIBUTED-OK {pid}" in out, out[-4000:]
+
+
+def test_two_process_sharded_vo_tiny():
+    """Default-tier DCN coverage (VERDICT r3 item 7): 2 processes x 2
+    virtual devices over one global (1, 4) mesh, trimmed scene. The workers
+    share the suite's persistent compile cache, so warm runs take seconds;
+    the full-size variant below stays `slow`."""
+    _run_pair(["tiny"], timeout=1200)
+
+
+@pytest.mark.slow
+def test_two_process_sharded_vo_matches_serial():
+    _run_pair([], timeout=1500)
