@@ -110,6 +110,8 @@ def map_find_matches(
     rotation,
     translation,
     ratio: float = 2.0,
+    map_bits=None,
+    map_pops=None,
 ):
     """Re-associate map points with current-frame features (map.rs:72-118).
 
@@ -136,12 +138,41 @@ def map_find_matches(
     v = intrinsics.fy * (p_cam[:, 1] / z_safe) + intrinsics.cy
     visible = state.valid & (z > 0.0) & (u >= 0.0) & (u < 4000.0) & (v >= 0.0) & (v < 3000.0)
 
-    matcher = FeatureMatcher()
-    matches = matcher.match_descriptors(
-        state.descriptors, frame_descriptors, query_mask=visible, train_mask=frame_mask
+    # Fused f32 matcher: the generic path materializes the [capacity, K]
+    # distance matrix in f32, casts it to int32, masks it, then reduces —
+    # four full passes over a 32 MB tensor per keyframe step at 16k
+    # capacity. Distances are exact integers <= 256 in f32, so everything
+    # the reference's filter needs (argmin, min, the max(ratio*min, 30)
+    # threshold, map.rs:96-118) computes identically without the cast, and
+    # XLA fuses mask+reduce into the matmul consumer.
+    #
+    # map_bits/map_pops: optional pre-unpacked map descriptor bits (the
+    # fused pipeline CARRIES them and updates only inserted rows —
+    # re-unpacking all 16k slots measured ~1.3 ms/keyframe on v5e, the
+    # single largest phase-2 cost).
+    from ..ops.hamming import descriptor_bits
+
+    if map_bits is None:
+        q_bits, q_pop = descriptor_bits(state.descriptors)
+    else:
+        q_bits, q_pop = map_bits, map_pops
+    t_bits, t_pop = descriptor_bits(jnp.asarray(frame_descriptors))
+    dots = jax.lax.dot_general(
+        q_bits, t_bits,
+        dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
     )
-    good = matcher.filter_good_matches(matches, ratio)
-    return good.train_idx, good.mask
+    dist = q_pop[:, None] + t_pop[None, :] - 2.0 * dots  # [C, K] f32, exact ints
+    big = jnp.float32(1 << 20)
+    dist = jnp.where(jnp.asarray(frame_mask, bool)[None, :], dist, big)
+    train_idx = jnp.argmin(dist, axis=1).astype(jnp.int32)
+    best = jnp.min(dist, axis=1)
+
+    live = visible & jnp.asarray(frame_mask, bool)[train_idx]
+    min_dist = jnp.min(jnp.where(live, best, big))
+    threshold = jnp.maximum(ratio * min_dist, FeatureMatcher.DIST_FLOOR)
+    good = live & (best < threshold)
+    return train_idx, good
 
 
 def map_update_observations(state: MapState, matched_mask) -> MapState:

@@ -74,6 +74,50 @@ def _eig3_smallest(s):
 
 
 @_f32_precision
+def _inv3x3_adj(a):
+    """Batched closed-form (adjugate) 3x3 inverse — nine fused products."""
+    c00 = a[..., 1, 1] * a[..., 2, 2] - a[..., 1, 2] * a[..., 2, 1]
+    c01 = a[..., 1, 2] * a[..., 2, 0] - a[..., 1, 0] * a[..., 2, 2]
+    c02 = a[..., 1, 0] * a[..., 2, 1] - a[..., 1, 1] * a[..., 2, 0]
+    c10 = a[..., 0, 2] * a[..., 2, 1] - a[..., 0, 1] * a[..., 2, 2]
+    c11 = a[..., 0, 0] * a[..., 2, 2] - a[..., 0, 2] * a[..., 2, 0]
+    c12 = a[..., 0, 1] * a[..., 2, 0] - a[..., 0, 0] * a[..., 2, 1]
+    c20 = a[..., 0, 1] * a[..., 1, 2] - a[..., 0, 2] * a[..., 1, 1]
+    c21 = a[..., 0, 2] * a[..., 1, 0] - a[..., 0, 0] * a[..., 1, 2]
+    c22 = a[..., 0, 0] * a[..., 1, 1] - a[..., 0, 1] * a[..., 1, 0]
+    det = a[..., 0, 0] * c00 + a[..., 0, 1] * c01 + a[..., 0, 2] * c02
+    adj = jnp.stack(
+        [
+            jnp.stack([c00, c10, c20], axis=-1),
+            jnp.stack([c01, c11, c21], axis=-1),
+            jnp.stack([c02, c12, c22], axis=-1),
+        ],
+        axis=-2,
+    )
+    return adj / det[..., None, None]
+
+
+def _inv4x4_spd(m):
+    """Batched SPD 4x4 inverse via block-Schur over the 3x3 adjugate form.
+
+    m = [[A, b], [b^T, d]] with A [...,3,3] SPD: S = d - b^T A^-1 b,
+    inv = [[A^-1 + u u^T / S, -u / S], [-u^T / S, 1 / S]] with u = A^-1 b.
+    A handful of fused elementwise ops — no LAPACK-style loops.
+    """
+    a = m[..., :3, :3]
+    b = m[..., :3, 3]
+    d = m[..., 3, 3]
+    a_inv = _inv3x3_adj(a)
+    u = jnp.einsum("...ij,...j->...i", a_inv, b)
+    s = d - jnp.einsum("...i,...i->...", b, u)
+    s_inv = 1.0 / s
+    top_left = a_inv + s_inv[..., None, None] * u[..., :, None] * u[..., None, :]
+    top_right = -s_inv[..., None] * u
+    row3 = jnp.concatenate([top_right, s_inv[..., None]], axis=-1)
+    top = jnp.concatenate([top_left, top_right[..., :, None]], axis=-1)
+    return jnp.concatenate([top, row3[..., None, :]], axis=-2)
+
+
 def smallest_eigvec(ata, iters: int = 2, method: str = "chol", block: int = 3):
     """Unit eigenvector for the smallest eigenvalue of a PSD [..., D, D] batch.
 
@@ -99,10 +143,44 @@ def smallest_eigvec(ata, iters: int = 2, method: str = "chol", block: int = 3):
     d = ata.shape[-1]
     eps_scale = 1e-6 if ata.dtype == jnp.float32 else 1e-12
     eps = eps_scale * jnp.trace(ata, axis1=-2, axis2=-1)[..., None, None]
-    # Guard all-zero blocks (fully-masked refits): shift by 1 so Cholesky
-    # stays finite; callers discard those results.
+    # Guard all-zero blocks (fully-masked refits): shift by 1 so the
+    # factorization stays finite; callers discard those results.
     eps = jnp.where(eps > 0, eps, 1.0)
-    chol = jnp.linalg.cholesky(ata + eps * jnp.eye(d, dtype=ata.dtype))
+    shifted = ata + eps * jnp.eye(d, dtype=ata.dtype)
+
+    if d == 4:
+        # Closed-form SPD 4x4 inverse via the block-Schur identity over the
+        # adjugate 3x3 inverse: batched jnp.linalg.cholesky +
+        # triangular_solve lower to blocked row-loop routines on TPU whose
+        # latency dominated the fused flagship's triangulation step
+        # (~0.75 ms per 500-point DLT batch); this form is a handful of
+        # fused elementwise ops. SPD + the eps shift keeps both the 3x3
+        # leading block and its Schur complement invertible.
+        a_inv = _inv4x4_spd(shifted)
+        solve = lambda rhs: a_inv @ rhs
+    else:
+        chol = jnp.linalg.cholesky(shifted)
+
+        def solve(rhs):
+            y = jax.lax.linalg.triangular_solve(chol, rhs, left_side=True, lower=True)
+            return jax.lax.linalg.triangular_solve(
+                chol, y, left_side=True, lower=True, transpose_a=True
+            )
+
+    if block == 1:
+        # Single-vector inverse iteration: right for GENERIC 1-D null
+        # spaces (DLT triangulation), where the Rayleigh-Ritz block is pure
+        # overhead. Callers with clustered spectra (8-point refits) must
+        # keep block >= 3 — see the docstring.
+        v1 = jnp.broadcast_to(
+            jnp.full((d,), d ** -0.5, ata.dtype), ata.shape[:-1]
+        )[..., None]
+        for _ in range(iters):
+            v1 = solve(v1)
+            v1 = v1 / jnp.maximum(
+                jnp.linalg.norm(v1, axis=-2, keepdims=True), 1e-30
+            )
+        return v1[..., 0]
 
     # Fixed orthonormal start: `block` distinct coordinate-ish directions.
     v0 = jnp.eye(d, dtype=ata.dtype)[:, :block]
@@ -120,11 +198,7 @@ def smallest_eigvec(ata, iters: int = 2, method: str = "chol", block: int = 3):
         return jnp.stack(cols, axis=-1)
 
     for _ in range(iters):
-        y = jax.lax.linalg.triangular_solve(chol, v, left_side=True, lower=True)
-        v = jax.lax.linalg.triangular_solve(
-            chol, y, left_side=True, lower=True, transpose_a=True
-        )
-        v = orthonormalize(v)
+        v = orthonormalize(solve(v))
 
     # Rayleigh-Ritz: project A onto the subspace, solve the small problem.
     av = ata @ v  # [..., D, block]

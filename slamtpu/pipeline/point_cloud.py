@@ -617,6 +617,12 @@ from typing import NamedTuple
 
 class _FusedCarry(NamedTuple):
     map_state: MapState
+    # Free-slot table + cursor (see _free_table): rebuilt only on prune
+    # steps, consumed sequentially by inserts — replaces map_insert's
+    # per-step full-capacity cumsum/scatter ranking, which dominated the
+    # fused step's cost at 16k slots.
+    free_slots: jnp.ndarray  # [cap] int32 rank -> slot (cap = none)
+    free_head: jnp.ndarray  # int32 scalar — next unconsumed rank
     prev_xy: jnp.ndarray  # [K, 2] previous-KEYFRAME keypoints
     prev_desc: jnp.ndarray  # [K, 32]
     prev_mask: jnp.ndarray  # [K]
@@ -646,11 +652,57 @@ class _FusedStepOut(NamedTuple):
     obs_mask: jnp.ndarray  # [O]
 
 
+def _free_table(state: MapState):
+    """Free slots in index order as a rank->slot table (cap = no slot).
+
+    The SAME ranking map_insert computes per call (map.py:77-83); the fused
+    pipeline carries it and rebuilds only when pruning frees slots —
+    between prunes the free set only shrinks from the front, so sequential
+    consumption (`free_head`) picks the identical slots.
+    """
+    cap = state.capacity
+    free = ~state.valid
+    free_rank = jnp.cumsum(free.astype(jnp.int32)) - 1
+    table = (
+        jnp.full((cap,), cap, jnp.int32)
+        .at[jnp.where(free, free_rank, cap)]
+        .set(jnp.arange(cap, dtype=jnp.int32), mode="drop")
+    )
+    return table, jnp.zeros((), jnp.int32)
+
+
+def _map_insert_at(state: MapState, free_slots, free_head, positions, descriptors, mask):
+    """map_insert consuming the carried free table (bit-identical slots)."""
+    positions = jnp.asarray(positions, state.positions.dtype)
+    descriptors = jnp.asarray(descriptors, jnp.uint8)
+    mask = jnp.asarray(mask, bool)
+    cap = state.capacity
+    rank = (jnp.cumsum(mask.astype(jnp.int32)) - 1).astype(jnp.int32)
+    idx = jnp.clip(free_head + rank, 0, cap - 1)
+    # Table entries past the free count hold `cap`; dead rows are routed
+    # there too, and scatter mode='drop' discards both.
+    slot = jnp.where(mask, free_slots[idx], cap).astype(jnp.int32)
+    ids = state.next_id + rank
+    new_state = MapState(
+        positions=state.positions.at[slot].set(positions, mode="drop"),
+        descriptors=state.descriptors.at[slot].set(descriptors, mode="drop"),
+        observations=state.observations.at[slot].set(jnp.int32(1), mode="drop"),
+        ids=state.ids.at[slot].set(ids, mode="drop"),
+        valid=state.valid.at[slot].set(True, mode="drop"),
+        next_id=state.next_id + jnp.sum(mask, dtype=jnp.int32),
+    )
+    return new_state, free_head + jnp.sum(mask, dtype=jnp.int32), slot
+
+
 def _fused_carry_init(config: PointCloudConfig, feats0, pose_dtype) -> _FusedCarry:
     w, o_cap = config.ba_window, config.max_obs_per_kf
     ring_kf = jnp.full((w,), -1, jnp.int32).at[w - 1].set(0)  # keyframe 0
+    empty = MapState.empty(config.map_capacity, jnp.float32)
+    table0, head0 = _free_table(empty)
     return _FusedCarry(
-        map_state=MapState.empty(config.map_capacity, jnp.float32),
+        map_state=empty,
+        free_slots=table0,
+        free_head=head0,
         prev_xy=feats0.xy,
         prev_desc=feats0.descriptors,
         prev_mask=feats0.mask,
@@ -708,7 +760,11 @@ def _fused_phase2_chunk(
             intrinsics, (pr32, pt32), (r32, t32),
             carry.prev_xy.astype(jnp.float32), xy2,
         )
-        state = map_insert(state, xyz, desc2, tri_valid & good.mask)
+        insert_mask = tri_valid & good.mask
+        state, free_head, _slot_i = _map_insert_at(
+            state, carry.free_slots, carry.free_head, xyz, desc2, insert_mask,
+        )
+        free_slots = carry.free_slots
 
         # Re-associate map landmarks with this frame (map.rs:72-118) and
         # record BA observations (point_cloud.rs:282-306).
@@ -816,16 +872,26 @@ def _fused_phase2_chunk(
         state = state._replace(positions=positions)
 
         # Prune low-observation landmarks every prune_interval keyframes
-        # (point_cloud.rs:373-383).
+        # (point_cloud.rs:373-383). Pruning frees slots, so the free table
+        # is rebuilt under the same predicate (lax.cond: the rebuild's
+        # full-capacity cumsum+scatter only runs on prune steps).
         if config.prune_interval:
             prune_pred = new_count % config.prune_interval == 0
             keep = state.valid & (state.observations >= config.min_observations)
             state = state._replace(
                 valid=jnp.where(prune_pred, keep, state.valid)
             )
+            free_slots, free_head = jax.lax.cond(
+                prune_pred,
+                lambda s, t, h: _free_table(s),
+                lambda s, t, h: (t, h),
+                state, free_slots, free_head,
+            )
 
         new_carry = _FusedCarry(
             map_state=state,
+            free_slots=free_slots,
+            free_head=free_head,
             prev_xy=xy,
             prev_desc=desc,
             prev_mask=mask,
@@ -949,8 +1015,12 @@ def run_point_cloud_fused(
         init_obs = obs if obs else ([], [], [], [])
         carry1 = (feats0, KeyframeState.initial(),
                   jnp.asarray(trajectory.global_pose, dtype))
+        resumed_map = jax.tree_util.tree_map(jnp.asarray, map_state)
+        table_r, head_r = _free_table(resumed_map)
         carry2 = carry2._replace(
-            map_state=jax.tree_util.tree_map(jnp.asarray, map_state),
+            map_state=resumed_map,
+            free_slots=table_r,
+            free_head=head_r,
             kf_count=jnp.asarray(len(init_chain[0]), jnp.int32),
             prev_rot=jnp.asarray(init_chain[0][-1], dtype),
             prev_trans=jnp.asarray(init_chain[1][-1], dtype),
