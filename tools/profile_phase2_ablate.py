@@ -76,6 +76,12 @@ def stub_reproj(state, intrinsics, rot, trans, idx, xy):
 
 
 def run_variant(name, frames, cam, patches):
+    # CRITICAL: jax caches traced jaxprs keyed on the UNDERLYING function
+    # object, so without clearing, every variant re-uses the first trace
+    # and the monkeypatched stubs never enter the program — all the
+    # round-3 ablation numbers measured the unpatched pipeline (pure
+    # noise). Verified r4: stubbing changes the HLO only after a clear.
+    jax.clear_caches()
     for k, v in ORIG.items():
         setattr(pc, k, v)
     for k, v in patches.items():
