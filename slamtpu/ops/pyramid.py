@@ -45,72 +45,37 @@ def _resize_weights(n_in: int, n_out: int):
     return w + jnp.where(i == hi_c[:, None], frac[:, None], 0.0)
 
 
-def _tap_geometry(n_in: int, n_out: int):
-    """2-tap bilinear tap indices/fractions (f64 numpy, trace-time)."""
-    scale = n_in / n_out
-    src = (np.arange(n_out) + 0.5) * scale - 0.5
-    lo = np.floor(src).astype(np.int64)
-    frac = (src - lo).astype(np.float32)
-    lo_c = np.clip(lo, 0, n_in - 1)
-    hi_c = np.clip(lo + 1, 0, n_in - 1)
-    return lo_c, hi_c, frac
-
-
-def _resize_axis_tiled(images, n_out: int, axis: int, tile: int = 128):
-    """2-tap bilinear resize along one axis via banded-TILED matmuls.
-
-    The dense [n_out, n_in] weight matmul spends almost all its FLOPs on
-    zeros (exactly 2 nonzero taps per output): measured 118 GFLOP and
-    0.8 ms/frame for the 8-level KITTI pyramid — 38% of the whole detector.
-    Tiling the OUTPUT axis lets each tile contract only its own input band
-    (~tile*scale + 2 wide, banded monotone taps), cutting FLOPs ~8x.
-    Results are BIT-identical to the dense form: each output is still the
-    sum of its 2 tap products plus exact zeros, in any grouping.
-    """
-    n_in = images.shape[axis]
-    lo_c, hi_c, frac = _tap_geometry(n_in, n_out)
-    eq = "oh,bhw->bow" if axis == 1 else "ow,bhw->bho"
-    outs = []
-    for start in range(0, n_out, tile):
-        stop = min(start + tile, n_out)
-        in_lo = int(lo_c[start])
-        in_hi = int(hi_c[stop - 1]) + 1
-        fr = jnp.asarray(frac[start:stop])
-        lo_t = jnp.asarray((lo_c[start:stop] - in_lo).astype(np.int32))
-        hi_t = jnp.asarray((hi_c[start:stop] - in_lo).astype(np.int32))
-        i = jnp.arange(in_hi - in_lo, dtype=jnp.int32)[None, :]
-        w = jnp.where(i == lo_t[:, None], 1.0 - fr[:, None], 0.0)
-        w = w + jnp.where(i == hi_t[:, None], fr[:, None], 0.0)
-        sl = jax.lax.slice_in_dim(images, in_lo, in_hi, axis=axis)
-        # HIGHEST: default-precision f32 matmuls run a bf16 pass on TPU AND
-        # (measured r4) on this XLA:CPU via AMX — ~0.35% pixel error against
-        # true bilinear. With 2-tap weights HIGHEST is EXACT (two f32
-        # products + zeros), restoring cv2 INTER_LINEAR parity; the tiled
-        # form's 8x FLOP cut more than pays the multi-pass cost.
-        outs.append(
-            jnp.einsum(
-                eq, w, sl,
-                preferred_element_type=jnp.float32,
-                precision=jax.lax.Precision.HIGHEST,
-            )
-        )
-    return jnp.concatenate(outs, axis=axis) if len(outs) > 1 else outs[0]
-
-
 def resize_bilinear_matmul(images, out_h: int, out_w: int):
-    """[B, H, W] -> [B, out_h, out_w] bilinear resize as banded-tiled MXU
-    matmuls (see _resize_axis_tiled).
+    """[B, H, W] -> [B, out_h, out_w] bilinear resize as two MXU matmuls.
 
     jax.image.resize lowers to gathers, which cost ~240 ms for an 8-level
-    33-frame KITTI pyramid on v5e; weight matmuls hit the MXU instead.
-    Two-tap interpolation at the mapped source position —
+    33-frame KITTI pyramid on v5e; dense [out, in] weight matmuls hit the
+    MXU instead. Two-tap interpolation at the mapped source position —
     cv2.resize(INTER_LINEAR) semantics, the kernel OpenCV ORB's pyramid
     uses (jax.image.resize 'linear' instead anti-aliases on downscale, so
-    it is NOT the parity target). H first (fewer rows), then W on the
-    smaller image.
+    it is NOT the parity target).
+
+    precision=HIGHEST: default-precision f32 matmuls run a bf16 pass on
+    TPU AND (measured r4) on this XLA:CPU via AMX — ~0.35% pixel error
+    against true bilinear. With 2-tap rows HIGHEST is EXACT (two f32
+    products plus exact zeros), and measured steady-state cost is the same
+    as the default pass. A banded-tiled variant cutting the matmuls' ~8x
+    zero-FLOPs was also timed: no steady-state win (the stage is
+    bandwidth/layout-bound, not FLOP-bound) and its ~130 einsums grew the
+    VO program's cold compile 45 -> 73 s, so dense stays.
     """
-    out = _resize_axis_tiled(images, out_h, axis=1)
-    return _resize_axis_tiled(out, out_w, axis=2)
+    wh = _resize_weights(images.shape[1], out_h)
+    ww = _resize_weights(images.shape[2], out_w)
+    out = jnp.einsum(
+        "oh,bhw->bow", wh, images,
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST,
+    )
+    return jnp.einsum(
+        "ow,bhw->bho", ww, out,
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST,
+    )
 
 
 def pyramid_shapes(height: int, width: int, n_levels: int, scale_factor: float = 1.2):

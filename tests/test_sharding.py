@@ -29,7 +29,10 @@ def test_graft_entry_single():
     fn, args = ge.entry()
     out = jax.jit(fn)(*args)
     jax.block_until_ready(out)
-    assert out[0].shape == (3, 4, 4)
+    # Masked-seed schedule: T steps for T frames (step 0 is the masked
+    # seed pair — see pipeline/vo.seed_features), so 4 frames -> 4 rows.
+    assert out[0].shape == (4, 4, 4)
+    assert not bool(out[1][0])  # the seed step is always a failed frame
 
 
 def test_graft_entry_multichip():
