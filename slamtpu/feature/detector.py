@@ -43,6 +43,37 @@ from ..ops.pyramid import build_pyramid, gaussian_blur
 __all__ = ["OrbConfig", "OrbFeatures", "OrbDetector", "detect_and_compute", "features_per_level"]
 
 
+# Largest detector batch that is known-safe per program on the current TPU
+# v5e runtime (see module note: 33+ hard-crashes the worker). Guarded at the
+# API boundary so config drift (a CLI --chunk 64, a bench env knob) fails
+# with an actionable error instead of killing the TPU worker mid-run.
+TPU_MAX_DETECTOR_BATCH = 32
+
+
+def _check_tpu_batch_envelope(batch: int) -> None:
+    """Raise (at trace time — batch is static) when a detector batch would
+    exceed the TPU worker's safe envelope. Repro for the backend report:
+    tools/repro_detector_batch33.py. Override with
+    SLAMTPU_ALLOW_BIG_BATCH=1 (e.g. on a runtime where the fault is fixed)."""
+    if batch <= TPU_MAX_DETECTOR_BATCH:
+        return
+    import os
+
+    if os.environ.get("SLAMTPU_ALLOW_BIG_BATCH") == "1":
+        return
+    if any(d.platform != "cpu" for d in jax.devices()):
+        raise ValueError(
+            f"detector batch {batch} exceeds the TPU-safe envelope of "
+            f"{TPU_MAX_DETECTOR_BATCH} frames/program: the fused detector "
+            "hard-crashes the v5e TPU worker at batch >= 33 on KITTI-sized "
+            "frames (slamtpu/feature/detector.py module note; minimized "
+            "repro: tools/repro_detector_batch33.py). Use chunks of <= "
+            f"{TPU_MAX_DETECTOR_BATCH} frames (pipelines' chunk_size <= "
+            f"{TPU_MAX_DETECTOR_BATCH + 1}), or set SLAMTPU_ALLOW_BIG_BATCH=1 "
+            "to bypass on a runtime where this backend fault is fixed."
+        )
+
+
 @dataclasses.dataclass(frozen=True)
 class OrbConfig:
     max_features: int = 500
@@ -217,6 +248,7 @@ def detect_and_compute(images, config: OrbConfig = OrbConfig()):
     """Batched ORB: [B, H, W] (float or uint8) -> OrbFeatures with
     K = config.max_features slots per image."""
     images = jnp.asarray(images)
+    _check_tpu_batch_envelope(images.shape[0])
     if images.dtype != jnp.float32:
         images = images.astype(jnp.float32)
 

@@ -146,10 +146,12 @@ def map_find_matches(
     # threshold, map.rs:96-118) computes identically without the cast, and
     # XLA fuses mask+reduce into the matmul consumer.
     #
-    # map_bits/map_pops: optional pre-unpacked map descriptor bits (the
-    # fused pipeline CARRIES them and updates only inserted rows —
-    # re-unpacking all 16k slots measured ~1.3 ms/keyframe on v5e, the
-    # single largest phase-2 cost).
+    # map_bits/map_pops: optional pre-unpacked map descriptor bits in the
+    # ops/hamming.descriptor_bits layout. The fused pipeline carries them in
+    # _FusedCarry and updates only the rows each insert touches
+    # (pipeline/point_cloud.py kf_step); re-unpacking all 16k slots here
+    # measured ~1.3 ms/keyframe on v5e. Stale bits in freed slots are
+    # harmless: `visible` masks invalid slots out of the match.
     from ..ops.hamming import descriptor_bits
 
     if map_bits is None:

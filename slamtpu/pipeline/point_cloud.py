@@ -518,7 +518,7 @@ def run_global_ba(
     ba_config: BaConfig | None = None,
     landmark_chunk: int = 2048,
     schur_method: str = "auto",
-    coobs_k: int = 16,
+    coobs_k: int | None = None,
 ):
     """Global bundle adjustment over ALL keyframes and logged observations.
 
@@ -578,6 +578,27 @@ def run_global_ba(
         # the co-observation pair assembly scales with observations instead
         # (mapping/bundle_adjustment.py ba_solve docstring).
         schur_method = "coobs" if rot.shape[0] > 256 else "dense"
+    if schur_method == "coobs" and coobs_k is None:
+        # coobs keeps at most coobs_k observers per landmark and DROPS the
+        # rest from the whole problem — a fixed default silently sheds data
+        # on long trajectories with well-observed landmarks (ADVICE r4).
+        # Derive K from the actual observation structure: the max observer
+        # count, capped at 64 (the pair assembly is O(L * K^2) FLOPs with K
+        # segment_sum passes; past 64 observers per landmark the dropped
+        # tail observations add little to an already over-determined point).
+        observers = np.bincount(pt_idx, minlength=uniq_slots.size)
+        coobs_k = int(min(max(observers.max(), 1), 64))
+        dropped = int(np.maximum(observers - coobs_k, 0).sum())
+        if dropped:
+            import sys
+
+            print(
+                f"run_global_ba: coobs_k={coobs_k} (capped) drops {dropped}/"
+                f"{pt_idx.size} observations on over-observed landmarks",
+                file=sys.stderr,
+            )
+    elif coobs_k is None:
+        coobs_k = 16  # unused by the dense path
     new_rot, new_trans, new_pts, err_after, _ = ba_solve(
         intrinsics,
         jnp.asarray(rot), jnp.asarray(trans),
@@ -623,6 +644,13 @@ class _FusedCarry(NamedTuple):
     # fused step's cost at 16k slots.
     free_slots: jnp.ndarray  # [cap] int32 rank -> slot (cap = none)
     free_head: jnp.ndarray  # int32 scalar — next unconsumed rank
+    # Pre-unpacked map descriptor bits for the re-association matcher
+    # (ops/hamming.descriptor_bits layout): updated only on the rows each
+    # insert touches, so the matcher never re-unpacks all `cap` slots per
+    # keyframe (~1.3 ms/keyframe on v5e at 16k capacity). Freed slots keep
+    # stale bits harmlessly — map_find_matches masks them via `visible`.
+    map_bits: jnp.ndarray  # [cap, 256] bf16
+    map_pops: jnp.ndarray  # [cap] f32
     prev_xy: jnp.ndarray  # [K, 2] previous-KEYFRAME keypoints
     prev_desc: jnp.ndarray  # [K, 32]
     prev_mask: jnp.ndarray  # [K]
@@ -695,14 +723,19 @@ def _map_insert_at(state: MapState, free_slots, free_head, positions, descriptor
 
 
 def _fused_carry_init(config: PointCloudConfig, feats0, pose_dtype) -> _FusedCarry:
+    from ..ops.hamming import descriptor_bits
+
     w, o_cap = config.ba_window, config.max_obs_per_kf
     ring_kf = jnp.full((w,), -1, jnp.int32).at[w - 1].set(0)  # keyframe 0
     empty = MapState.empty(config.map_capacity, jnp.float32)
     table0, head0 = _free_table(empty)
+    bits0, pops0 = descriptor_bits(empty.descriptors)
     return _FusedCarry(
         map_state=empty,
         free_slots=table0,
         free_head=head0,
+        map_bits=bits0,
+        map_pops=pops0,
         prev_xy=feats0.xy,
         prev_desc=feats0.descriptors,
         prev_mask=feats0.mask,
@@ -761,14 +794,25 @@ def _fused_phase2_chunk(
             carry.prev_xy.astype(jnp.float32), xy2,
         )
         insert_mask = tri_valid & good.mask
-        state, free_head, _slot_i = _map_insert_at(
+        state, free_head, slot_i = _map_insert_at(
             state, carry.free_slots, carry.free_head, xyz, desc2, insert_mask,
         )
         free_slots = carry.free_slots
+        # Maintain the carried pre-unpacked descriptor bits: only the rows
+        # this insert touched change (dead rows carry slot == cap and are
+        # dropped by the scatter).
+        from ..ops.hamming import descriptor_bits
+
+        ins_bits, ins_pops = descriptor_bits(desc2)
+        map_bits = carry.map_bits.at[slot_i].set(ins_bits, mode="drop")
+        map_pops = carry.map_pops.at[slot_i].set(ins_pops, mode="drop")
 
         # Re-associate map landmarks with this frame (map.rs:72-118) and
         # record BA observations (point_cloud.rs:282-306).
-        midx, mgood = map_find_matches(state, intrinsics, desc, mask, r32, t32)
+        midx, mgood = map_find_matches(
+            state, intrinsics, desc, mask, r32, t32,
+            map_bits=map_bits, map_pops=map_pops,
+        )
         state = map_update_observations(state, mgood)
 
         # Gate BA observations by reprojection error (see PointCloudConfig.
@@ -892,6 +936,8 @@ def _fused_phase2_chunk(
             map_state=state,
             free_slots=free_slots,
             free_head=free_head,
+            map_bits=map_bits,
+            map_pops=map_pops,
             prev_xy=xy,
             prev_desc=desc,
             prev_mask=mask,
@@ -1015,12 +1061,17 @@ def run_point_cloud_fused(
         init_obs = obs if obs else ([], [], [], [])
         carry1 = (feats0, KeyframeState.initial(),
                   jnp.asarray(trajectory.global_pose, dtype))
+        from ..ops.hamming import descriptor_bits
+
         resumed_map = jax.tree_util.tree_map(jnp.asarray, map_state)
         table_r, head_r = _free_table(resumed_map)
+        bits_r, pops_r = descriptor_bits(resumed_map.descriptors)
         carry2 = carry2._replace(
             map_state=resumed_map,
             free_slots=table_r,
             free_head=head_r,
+            map_bits=bits_r,
+            map_pops=pops_r,
             kf_count=jnp.asarray(len(init_chain[0]), jnp.int32),
             prev_rot=jnp.asarray(init_chain[0][-1], dtype),
             prev_trans=jnp.asarray(init_chain[1][-1], dtype),

@@ -24,9 +24,21 @@ for f in tests/test_*.py; do
   for attempt in $(seq 0 "$MAX_RETRY"); do
     python -m pytest "$f" -q -p no:cacheprovider "${MARKER_ARGS[@]}" "$@"
     rc=$?
-    if [ "$rc" -eq 0 ] || [ "$rc" -eq 5 ]; then
-      # rc=5 = "no tests collected": an all-slow file filtered out by the
-      # fast tier (e.g. test_distributed.py) is a pass, not a failure.
+    if [ "$rc" -eq 5 ] && [ "${#MARKER_ARGS[@]}" -gt 0 ]; then
+      # rc=5 = "no tests collected" under the fast tier's marker filter.
+      # Legitimate ONLY for an all-slow file (e.g. test_distributed.py);
+      # verify the file collects tests WITHOUT the filter so a collection
+      # regression (typo'd names, import-level skip wiping the file) cannot
+      # read as green (ADVICE r4).
+      if python -m pytest "$f" -q -p no:cacheprovider --collect-only >/dev/null 2>&1; then
+        ok=1
+        break
+      fi
+      echo "rc=5 in $f but unfiltered collection finds no tests either — failing" >&2
+      rc=1
+      break
+    fi
+    if [ "$rc" -eq 0 ]; then
       ok=1
       break
     elif [ "$rc" -eq 130 ] || [ "$rc" -eq 2 ]; then
