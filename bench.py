@@ -457,8 +457,14 @@ def _secondary_metrics(jax, frames, cam, config, blocks, keys, chunk, force, log
         jnp.asarray(kf_idx), jnp.asarray(pt_idx), jnp.asarray(pix), jnp.ones(pt_idx.shape[0], bool)
     )
     ba_config = BaConfig(max_iterations=5, min_error_change=0.0)
+    # gather-mode segment reductions with the exact observer bound (what an
+    # eager ba_solve call auto-derives; jit hides the concrete indices, so
+    # pass it explicitly — mapping/bundle_adjustment.py docstring).
     solve = jax.jit(
-        lambda r, t, p: ba_solve(cam, r, t, p, obs, ba_config, fix_first_pose=True)
+        lambda r, t, p: ba_solve(
+            cam, r, t, p, obs, ba_config, fix_first_pose=True,
+            segment_method="gather", gather_k_pt=obs_per_point,
+        )
     )
     out = solve(jnp.asarray(rots), jnp.asarray(trans), jnp.asarray(pts))
     force(out[3])
@@ -488,6 +494,58 @@ def _secondary_metrics(jax, frames, cam, config, blocks, keys, chunk, force, log
             f"HBM {by / max(iters, 1) * rate / 1e9:.1f} GB/s = "
             f"{by / max(iters, 1) * rate / V5E_HBM_BW:.1%} of bandwidth"
         )
+
+    # --- global-scale BA via co-observation Schur (coobs) -----------------
+    # The r4 sparse-Schur assembly at a scale the dense O(P^2*L) product
+    # cannot touch: 400 poses x 20k landmarks x 120k observations
+    # (VERDICT r4 item 3 asked for a recorded TPU number for this path).
+    n_poses_g, n_points_g, obs_per_g = 400, 20_000, 6
+    pts_g = np.stack(
+        [rng.uniform(-40, 40, n_points_g), rng.uniform(-8, 8, n_points_g),
+         rng.uniform(5, 80, n_points_g)], 1
+    ).astype(np.float32)
+    rots_g = np.tile(np.eye(3, dtype=np.float32), (n_poses_g, 1, 1))
+    trans_g = np.stack(
+        [np.array([0.2 * i, 0.0, 0.0], np.float32) for i in range(n_poses_g)]
+    )
+    ptg = np.repeat(np.arange(n_points_g, dtype=np.int32), obs_per_g)
+    # Co-observation structure of a tracking window: each landmark is seen
+    # by a contiguous run of poses (not uniform random), like a real map.
+    first = rng.integers(0, n_poses_g - obs_per_g, size=n_points_g)
+    kfg = (np.repeat(first, obs_per_g)
+           + np.tile(np.arange(obs_per_g), n_points_g)).astype(np.int32)
+    p_cam_g = np.einsum("mij,mj->mi", rots_g[kfg], pts_g[ptg]) + trans_g[kfg]
+    pix_g = np.stack(
+        [718.0 * p_cam_g[:, 0] / p_cam_g[:, 2] + 607.0,
+         718.0 * p_cam_g[:, 1] / p_cam_g[:, 2] + 185.0], 1
+    ).astype(np.float32) + rng.normal(scale=0.5, size=(ptg.shape[0], 2)).astype(np.float32)
+    obs_g = ObservationBatch(
+        jnp.asarray(kfg), jnp.asarray(ptg), jnp.asarray(pix_g),
+        jnp.ones(ptg.shape[0], bool),
+    )
+    solve_g = jax.jit(
+        lambda r, t, p: ba_solve(
+            cam, r, t, p, obs_g, BaConfig(max_iterations=3, min_error_change=0.0),
+            fix_first_pose=True, schur_method="coobs", coobs_k=obs_per_g,
+            segment_method="gather", gather_k_pt=obs_per_g,
+        )
+    )
+    out = solve_g(jnp.asarray(rots_g), jnp.asarray(trans_g), jnp.asarray(pts_g))
+    force(out[3])
+    samples = []
+    for rep in range(1, 4):
+        t0 = time.time()
+        out = solve_g(
+            jnp.asarray(rots_g + rep * 1e-5), jnp.asarray(trans_g), jnp.asarray(pts_g)
+        )
+        force(out[3])
+        iters_g = int(out[4])
+        samples.append((time.time() - t0) / max(iters_g, 1) * 1000)
+    log(
+        f"secondary: global BA (coobs) {float(np.median(samples)):.1f} ms/iter at "
+        f"{n_points_g} points / {n_poses_g} poses / {ptg.shape[0]} observations "
+        f"({iters_g} iters run; samples {', '.join(f'{s:.1f}' for s in samples)})"
+    )
 
     # --- MonoDepth2 inference ms/frame ------------------------------------
     # Named in BASELINE.json ("MonoDepth2 inference ms"; the reference prints

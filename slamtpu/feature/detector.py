@@ -195,14 +195,11 @@ def _subpixel_offsets(harris_map, xy):
     return jnp.stack([dx, dy], axis=-1)
 
 
-def _detect_level(ranked, image, blurred, quota, margin, exact_topk, descriptor_bins,
-                  harris_map=None):
-    """One pyramid level for one image: top-`quota` Harris-ranked FAST corners.
+def _select_level(ranked, quota, margin, exact_topk, h, w, harris_map=None):
+    """Top-`quota` Harris-ranked FAST corners for ONE image's level.
 
-    ranked/image/blurred: [H, W]. Returns per-level SoA with static [quota]
-    shape.
-    """
-    h, w = image.shape
+    ranked: [H, W]. Returns (xy [quota, 2] integer centers, xy_out reported
+    coords incl. sub-pixel term, top_vals, mask)."""
     row = jnp.arange(h)[:, None]
     col = jnp.arange(w)[None, :]
     interior = (row >= margin) & (row < h - margin) & (col >= margin) & (col < w - margin)
@@ -223,8 +220,34 @@ def _detect_level(ranked, image, blurred, quota, margin, exact_topk, descriptor_
     y = jnp.where(mask, y, h // 2)
     xy = jnp.stack([x, y], axis=-1)
     xy_out = xy + _subpixel_offsets(harris_map, xy) if harris_map is not None else xy
-    # Patch extraction below keeps the integer centers (dynamic_slice rounds
+    # Patch extraction keeps the integer centers (dynamic_slice rounds
     # anyway); only the reported coordinates gain the sub-pixel term.
+    return xy, xy_out, jnp.where(mask, top_vals, 0.0), mask
+
+
+def _extract_patches_level(images, xy):
+    """Batched per-keypoint windows: [B, H, W] + [B, K, 2] -> [B, K, P, P].
+
+    Pallas VMEM kernel on accelerators (ops/pallas_patch.py — the XLA
+    vmapped-dynamic_slice form is 16k small HBM reads per 32-frame chunk,
+    ~40% of the whole detector); vmapped dynamic_slice elsewhere."""
+    if jax.default_backend() not in ("cpu",):
+        from ..ops.pallas_patch import extract_patches_batched
+
+        starts = jnp.round(xy).astype(jnp.int32) - PATCH_RADIUS
+        return extract_patches_batched(images, starts, PATCH_RADIUS)
+    return jax.vmap(lambda img, k: extract_patches(img, k, PATCH_RADIUS))(images, xy)
+
+
+def _detect_level(ranked, image, blurred, quota, margin, exact_topk, descriptor_bins,
+                  harris_map=None):
+    """One pyramid level for one image (compatibility path: per-image, XLA
+    patch slicing). The batched API below splits selection and description
+    so patch extraction can run as ONE Pallas call per level."""
+    h, w = image.shape
+    xy, xy_out, resp, mask = _select_level(
+        ranked, quota, margin, exact_topk, h, w, harris_map
+    )
 
     if descriptor_bins > 0:
         # Fast path: ONE patch per keypoint (blurred), orientation measured
@@ -240,7 +263,7 @@ def _detect_level(ranked, image, blurred, quota, margin, exact_topk, descriptor_
         blurred_patches = extract_patches(blurred, xy, PATCH_RADIUS)
         descriptors = brief_descriptors(blurred_patches, angles)
 
-    return xy_out, jnp.where(mask, top_vals, 0.0), angles, descriptors, mask
+    return xy_out, resp, angles, descriptors, mask
 
 
 @functools.partial(jax.jit, static_argnames=("config",))
@@ -283,20 +306,35 @@ def detect_and_compute(images, config: OrbConfig = OrbConfig()):
         want_sub = config.subpixel and level <= config.subpixel_max_octave
         maps = _ranked_corner_maps(level_images, config, with_harris=want_sub)
         ranked, harris_maps = maps if want_sub else (maps, None)
+        # Selection (vmapped, cheap) is split from description so the patch
+        # windows can be cut in ONE batched call per level (Pallas on TPU —
+        # see _extract_patches_level).
         if want_sub:
-            xy, resp, ang, desc, mask = jax.vmap(
-                lambda rank, img, blur, hm: _detect_level(
-                    rank, img, blur, quota, config.edge_threshold, config.exact_topk,
-                    config.descriptor_bins, hm,
+            xy_int, xy, resp, mask = jax.vmap(
+                lambda rank, hm: _select_level(
+                    rank, quota, config.edge_threshold, config.exact_topk,
+                    h_l, w_l, hm,
                 )
-            )(ranked, level_images, blurred, harris_maps)
+            )(ranked, harris_maps)
         else:
-            xy, resp, ang, desc, mask = jax.vmap(
-                lambda rank, img, blur: _detect_level(
-                    rank, img, blur, quota, config.edge_threshold, config.exact_topk,
-                    config.descriptor_bins,
+            xy_int, xy, resp, mask = jax.vmap(
+                lambda rank: _select_level(
+                    rank, quota, config.edge_threshold, config.exact_topk, h_l, w_l,
                 )
-            )(ranked, level_images, blurred)
+            )(ranked)
+        if config.descriptor_bins > 0:
+            from ..ops.brief import brief_descriptors_binned
+
+            blurred_patches = _extract_patches_level(blurred, xy_int)
+            ang = jax.vmap(orientation)(blurred_patches)
+            desc = jax.vmap(
+                lambda p, a: brief_descriptors_binned(p, a, config.descriptor_bins)
+            )(blurred_patches, ang)
+        else:
+            patches = _extract_patches_level(level_images, xy_int)
+            ang = jax.vmap(orientation)(patches)
+            blurred_patches = _extract_patches_level(blurred, xy_int)
+            desc = jax.vmap(brief_descriptors)(blurred_patches, ang)
         outs.append(
             OrbFeatures(
                 xy=xy * scale,

@@ -201,6 +201,7 @@ def ba_solve(
     segment_method: str = "auto",
     schur_method: str = "dense",
     coobs_k: int = 16,
+    gather_k_pt: int | None = None,
 ):
     """Run LM with Schur elimination. Returns (rotations, translations,
     points, final_error, iterations_run).
@@ -225,6 +226,20 @@ def ba_solve(
         exact); size coobs_k to the tracking window. Right for 1000+-pose
         global BA where co-observation is sparse.
     coobs_k: max observers kept per landmark under "coobs" (static).
+    segment_method "gather" (requires gather_k_pt): the TPU fast path for
+      LM iterations. Per-landmark reductions run as table GATHERS instead of
+      scatter-adds or [L, M] one-hot matmuls: a [L, gather_k_pt] observer
+      table is built ONCE per solve (observation indices never change across
+      LM iterations), and every per-landmark segment sum becomes one gather
+      plus a K-wide sum — O(M) bandwidth, no serializing scatters, no
+      M-sized indicator re-read per iteration (the window-BA one-hot path
+      re-read a 42 MB [2048, 5120] indicator 4x per iteration). The dense
+      Schur's W assembly is likewise built from the gathered table.
+      CORRECTNESS CONTRACT: gather_k_pt must be >= the max number of
+      observations of any landmark, or the excess observations are silently
+      dropped; callers derive it exactly (window BA: the window size; eager
+      global/bench solves: np.bincount of pt_idx).
+    gather_k_pt: observer-table width for segment_method="gather" (static).
     All inputs are promoted to a common float dtype; f64 recommended on CPU,
     f32 works on TPU for the problem scales the reference targets. All
     contractions run at true f32 precision (`_f32_precision`): Schur
@@ -286,33 +301,89 @@ def ba_solve(
     # the one-hot form on accelerators (equivalence unit-tested in
     # tests/test_bundle_adjustment.py). Large problems (global BA: 16k
     # landmarks x 100k+ obs would need a multi-GB indicator) always scatter.
+    if segment_method == "auto" and jax.default_backend() != "cpu":
+        # Eager calls (concrete index arrays) can derive the exact observer
+        # bound and take the gather fast path; traced calls (indices are
+        # tracers) keep the generic paths unless the caller passes
+        # gather_k_pt explicitly.
+        if gather_k_pt is not None:
+            segment_method = "gather"
+        elif not isinstance(obs.pt_idx, jax.core.Tracer) and not isinstance(
+            obs.mask, jax.core.Tracer
+        ):
+            counts = np.bincount(
+                np.asarray(obs.pt_idx)[np.asarray(obs.mask)], minlength=n_points
+            )
+            k = int(max(counts.max() if counts.size else 1, 1))
+            # A pathologically over-observed landmark would make the [L, K]
+            # table mostly padding; past 256 observers the generic paths win.
+            if k <= 256:
+                gather_k_pt = k
+                segment_method = "gather"
     if segment_method == "auto":
         want_onehot = jax.default_backend() != "cpu"
     else:
         want_onehot = segment_method == "onehot"
+    use_gather = segment_method == "gather" and m > 0
+    if use_gather:
+        assert gather_k_pt is not None and gather_k_pt >= 1, (
+            "segment_method='gather' requires gather_k_pt (see docstring)"
+        )
+        # Observer table [L, K] of observation indices (m = padding), built
+        # once per solve: stable-sort observations by landmark, rank within
+        # landmark, scatter indices into (landmark, rank) cells. The ONLY
+        # scatter in the whole gather-mode solve, outside the LM loop.
+        keyed = jnp.where(obs.mask, obs.pt_idx, n_points)
+        order = jnp.argsort(keyed)
+        pt_sorted = keyed[order]
+        seg_starts = jnp.searchsorted(pt_sorted, jnp.arange(n_points))
+        rank_sorted = jnp.arange(m) - seg_starts[jnp.clip(pt_sorted, 0, n_points - 1)]
+        in_tbl = (pt_sorted < n_points) & (rank_sorted < gather_k_pt)
+        tbl_pt = (
+            jnp.full((n_points + 1, gather_k_pt), m, jnp.int32)
+            .at[
+                jnp.where(in_tbl, pt_sorted, n_points),
+                jnp.clip(rank_sorted, 0, gather_k_pt - 1),
+            ]
+            .set(order.astype(jnp.int32), mode="drop")[:n_points]
+        )
     use_onehot = (
-        want_onehot
+        not use_gather
+        and want_onehot
         and n_points * m <= 40_000_000
         and n_poses * m <= 40_000_000
         and m > 0
     )
-    if use_onehot:
-        oh_pt = (obs.pt_idx[None, :] == jnp.arange(n_points)[:, None]).astype(dtype)
+    # Per-pose reductions: pose counts are small (a BA window is 5 poses,
+    # global BA a few hundred), so the [P, M] one-hot matmul is cheap and
+    # MXU-native — gather mode reuses it rather than a per-pose table.
+    if use_onehot or use_gather:
         oh_pose = (obs.kf_idx[None, :] == jnp.arange(n_poses)[:, None]).astype(dtype)
-
-        def seg_pt(v):
-            return (oh_pt @ v.reshape(m, -1)).reshape(n_points, *v.shape[1:])
 
         def seg_pose(v):
             return (oh_pose @ v.reshape(m, -1)).reshape(n_poses, *v.shape[1:])
 
     else:
 
-        def seg_pt(v):
-            return jax.ops.segment_sum(v, obs.pt_idx, n_points)
-
         def seg_pose(v):
             return jax.ops.segment_sum(v, obs.kf_idx, n_poses)
+
+    if use_gather:
+
+        def seg_pt(v):
+            vp = jnp.concatenate([v, jnp.zeros((1, *v.shape[1:]), v.dtype)], axis=0)
+            return jnp.sum(vp[tbl_pt], axis=1)
+
+    elif use_onehot:
+        oh_pt = (obs.pt_idx[None, :] == jnp.arange(n_points)[:, None]).astype(dtype)
+
+        def seg_pt(v):
+            return (oh_pt @ v.reshape(m, -1)).reshape(n_points, *v.shape[1:])
+
+    else:
+
+        def seg_pt(v):
+            return jax.ops.segment_sum(v, obs.pt_idx, n_points)
 
     def error_of(state):
         r, t, x = state
@@ -436,6 +507,40 @@ def ba_solve(
                     c.reshape(-1, 36), sid.reshape(-1), n_buckets + 1
                 )
             s_off = s_flat[:-1].reshape(n_poses, n_poses, 6, 6)
+        elif use_gather:
+            # W assembly from the per-landmark observer table: gather each
+            # landmark's <= K coupling blocks, expand over poses with a
+            # [lc, K, P] one-hot einsum (tiny — K and P are small), then the
+            # same chunked MXU Schur product as the dense path. No scatter,
+            # no [L, M] indicator: per-iteration traffic is O(M) blocks.
+            l_pad = n_chunks * lc
+            u_pad = jnp.concatenate([u_pl, jnp.zeros((1, 6, 3), dtype)], axis=0)
+            kf_pad = jnp.concatenate(
+                [obs.kf_idx, jnp.zeros((1,), obs.kf_idx.dtype)], axis=0
+            )
+            h_ll_inv_pad = jnp.zeros((l_pad, 3, 3), dtype).at[:n_points].set(h_ll_inv)
+            tbl_pad = (
+                jnp.full((l_pad, gather_k_pt), m, jnp.int32).at[:n_points].set(tbl_pt)
+            )
+
+            def schur_chunk(c, s_acc):
+                base = c * lc
+                tbl_c = jax.lax.dynamic_slice(tbl_pad, (base, 0), (lc, gather_k_pt))
+                wjk_c = u_pad[tbl_c]  # [lc, K, 6, 3]; padding rows are zero blocks
+                ohp = (
+                    kf_pad[tbl_c][..., None] == jnp.arange(n_poses)[None, None, :]
+                ).astype(dtype)  # padding rows hit pose 0 but multiply zero blocks
+                w_c = jnp.einsum("lkp,lkab->plab", ohp, wjk_c)  # [P, lc, 6, 3]
+                hinv_c = jax.lax.dynamic_slice(h_ll_inv_pad, (base, 0, 0), (lc, 3, 3))
+                t_c = jnp.einsum("pjab,jbc->pjac", w_c, hinv_c)
+                t_mat = t_c.transpose(0, 2, 1, 3).reshape(n_poses * 6, lc * 3)
+                w_mat = w_c.transpose(0, 2, 1, 3).reshape(n_poses * 6, lc * 3)
+                s_c = (t_mat @ w_mat.T).reshape(n_poses, 6, n_poses, 6)
+                return s_acc + s_c.transpose(0, 2, 1, 3)
+
+            s_off = jax.lax.fori_loop(
+                0, n_chunks, schur_chunk, jnp.zeros((n_poses, n_poses, 6, 6), dtype)
+            )
         elif use_onehot and n_chunks == 1:
             # Dense one-hot W assembly: one matmul instead of a scatter-add
             # (TPU scatters serialize; this is the window-BA hot path).

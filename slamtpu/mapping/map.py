@@ -112,6 +112,7 @@ def map_find_matches(
     ratio: float = 2.0,
     map_bits=None,
     map_pops=None,
+    frame_xy=None,
 ):
     """Re-associate map points with current-frame features (map.rs:72-118).
 
@@ -120,7 +121,11 @@ def map_find_matches(
     map->frame (query = map descriptors), applies the reference ratio filter.
 
     Returns (train_idx [C] int32 — matched keypoint per map slot,
-    good [C] bool — slot matched).
+    good [C] bool — slot matched). With frame_xy ([K, 2] keypoint pixels)
+    also returns dist [C]: the pixel distance between each slot's projection
+    and its matched keypoint (inf behind the camera) — the reprojection gate
+    reuses THIS projection instead of projecting all C landmarks a second
+    time (the fused pipeline's per-keyframe hot path).
     """
     # HIGHEST: landmark projection feeds the reproj-error observation gate;
     # TPU bf16-pass defaults cost ~0.4% relative -> several px at image scale
@@ -174,7 +179,12 @@ def map_find_matches(
     min_dist = jnp.min(jnp.where(live, best, big))
     threshold = jnp.maximum(ratio * min_dist, FeatureMatcher.DIST_FLOOR)
     good = live & (best < threshold)
-    return train_idx, good
+    if frame_xy is None:
+        return train_idx, good
+    kp = jnp.asarray(frame_xy, state.positions.dtype)[train_idx]
+    px_dist = jnp.hypot(u - kp[:, 0], v - kp[:, 1])
+    px_dist = jnp.where(z > 1e-6, px_dist, jnp.inf)
+    return train_idx, good, px_dist
 
 
 def map_update_observations(state: MapState, matched_mask) -> MapState:

@@ -167,32 +167,11 @@ def _triangulate_and_insert(
 
 @jax.jit
 def _reassociate(state: MapState, intrinsics: CameraIntrinsics, desc, kp_mask, rot, trans, xy):
-    idx, good = map_find_matches(state, intrinsics, desc, kp_mask, rot, trans)
-    new_state = map_update_observations(state, good)
-    dist = _reproj_distance(state, intrinsics, rot, trans, idx, xy)
-    return new_state, idx, good, dist
-
-
-def _reproj_distance(state: MapState, intrinsics, rot, trans, idx, xy):
-    """Pixel distance between each map slot's projection and its matched
-    keypoint (inf where the landmark is behind the camera)."""
-    dtype = state.positions.dtype
-    # HIGHEST: this distance gates BA observations at obs_max_reproj_px (a
-    # few px); bf16-pass projection error is the same order (map.py:124).
-    p_cam = jnp.einsum(
-        "ij,nj->ni",
-        jnp.asarray(rot, dtype),
-        state.positions,
-        precision=jax.lax.Precision.HIGHEST,
+    idx, good, dist = map_find_matches(
+        state, intrinsics, desc, kp_mask, rot, trans, frame_xy=xy
     )
-    p_cam = p_cam + jnp.asarray(trans, dtype)[None, :]
-    z = p_cam[:, 2]
-    z_safe = jnp.where(z > 1e-6, z, 1.0)
-    u = intrinsics.fx * (p_cam[:, 0] / z_safe) + intrinsics.cx
-    v = intrinsics.fy * (p_cam[:, 1] / z_safe) + intrinsics.cy
-    kp = xy[idx].astype(dtype)
-    dist = jnp.hypot(u - kp[:, 0], v - kp[:, 1])
-    return jnp.where(z > 1e-6, dist, jnp.inf)
+    new_state = map_update_observations(state, good)
+    return new_state, idx, good, dist
 
 
 def run_point_cloud(
@@ -406,9 +385,19 @@ def _ba_window_solve(
     """
     pts_w = positions[slots].astype(rot_w.dtype)
     obs = ObservationBatch(kf_idx, pt_idx, pixels, obs_mask)
+    # TPU: gather-mode segment reductions. A landmark is observed at most
+    # once per window keyframe (both callers build per-keyframe DISTINCT
+    # slot lists), so the window size is an exact observer bound — the
+    # gather contract holds. CPU keeps scatter-adds: the host-loop and
+    # fused pipelines' bit-equality under f64 is a test invariant
+    # (tests/test_point_cloud.py), and scatter order is padding-invariant.
+    if jax.default_backend() != "cpu":
+        seg_kw = dict(segment_method="gather", gather_k_pt=rot_w.shape[0])
+    else:
+        seg_kw = {}
     new_rot, new_trans, new_pts, err, _ = ba_solve(
         intrinsics, rot_w, trans_w, pts_w, obs, ba_config,
-        fix_first_pose=fix_first_pose, pose_mask=pose_mask,
+        fix_first_pose=fix_first_pose, pose_mask=pose_mask, **seg_kw,
     )
     # Padded rows of `slots` are 0, so a plain scatter would write slot 0
     # twice (optimized value + stale padding) — duplicate-index scatter-set
@@ -808,10 +797,12 @@ def _fused_phase2_chunk(
         map_pops = carry.map_pops.at[slot_i].set(ins_pops, mode="drop")
 
         # Re-associate map landmarks with this frame (map.rs:72-118) and
-        # record BA observations (point_cloud.rs:282-306).
-        midx, mgood = map_find_matches(
+        # record BA observations (point_cloud.rs:282-306). frame_xy makes
+        # the matcher return the reprojection distance from ITS landmark
+        # projection — no second full-capacity projection pass.
+        midx, mgood, dist = map_find_matches(
             state, intrinsics, desc, mask, r32, t32,
-            map_bits=map_bits, map_pops=map_pops,
+            map_bits=map_bits, map_pops=map_pops, frame_xy=xy,
         )
         state = map_update_observations(state, mgood)
 
@@ -819,7 +810,6 @@ def _fused_phase2_chunk(
         # obs_max_reproj_px); the observation-count increment above stays
         # faithful to the reference's ungated semantics.
         if config.obs_max_reproj_px:
-            dist = _reproj_distance(state, intrinsics, r32, t32, midx, xy)
             mgood = mgood & (dist < config.obs_max_reproj_px)
 
         # Compact the per-slot match mask to O observation rows: the first

@@ -12,6 +12,54 @@ import cv2
 import numpy as np
 
 
+def cv2_vo_relative_cached(frames, intrinsics, nfeatures=400, ransac_thresh=1.0):
+    """`cv2_vo_relative` with a disk cache next to the scene cache.
+
+    The oracle is deterministic for fixed inputs (cv2's RANSAC draws from
+    OpenCV's default-seeded theRNG, which this fresh-process test run never
+    re-seeds), and it costs ~1-2 min per 160-frame scene on this 1-core
+    host — the single biggest fast-tier chunk (VERDICT r4 item 7). Key:
+    sha256 of the frame bytes + intrinsics + params + the cv2 version
+    (a cv2 upgrade may legitimately change RANSAC draws).
+    """
+    import hashlib
+    import json
+    import os
+    import tempfile
+
+    key_src = json.dumps(
+        {
+            "cv2": cv2.__version__,
+            "shape": list(frames.shape),
+            "dtype": str(frames.dtype),
+            "frames": hashlib.sha256(np.ascontiguousarray(frames).tobytes()).hexdigest(),
+            "k": [float(intrinsics.fx), float(intrinsics.fy),
+                  float(intrinsics.cx), float(intrinsics.cy)],
+            "nfeatures": nfeatures,
+            "ransac_thresh": ransac_thresh,
+        },
+        sort_keys=True,
+    )
+    key = hashlib.sha256(key_src.encode()).hexdigest()[:24]
+    cache_dir = os.path.join(os.path.dirname(__file__), "..", ".scene_cache")
+    os.makedirs(cache_dir, exist_ok=True)
+    path = os.path.join(cache_dir, f"oracle_{key}.npz")
+    if os.path.exists(path):
+        z = np.load(path)
+        return {
+            int(i): (r, t) for i, r, t in zip(z["idx"], z["rot"], z["trans"])
+        }
+    out = cv2_vo_relative(frames, intrinsics, nfeatures, ransac_thresh)
+    idx = np.array(sorted(out.keys()), np.int64)
+    rot = np.stack([out[i][0] for i in idx]) if idx.size else np.zeros((0, 3, 3))
+    trans = np.stack([out[i][1] for i in idx]) if idx.size else np.zeros((0, 3))
+    fd, tmp = tempfile.mkstemp(dir=cache_dir, suffix=".npz.tmp")
+    with os.fdopen(fd, "wb") as f:
+        np.savez(f, idx=idx, rot=rot, trans=trans)
+    os.replace(tmp, path)
+    return out
+
+
 def cv2_vo_relative(frames, intrinsics, nfeatures=400, ransac_thresh=1.0):
     """Run the reference pipeline; returns {pair_index: (R, t_unit)}."""
     k = np.array(

@@ -37,7 +37,7 @@ import pytest
 from slamtpu.io.synthetic import render_sequence_cached as render_sequence
 from slamtpu.pipeline.vo import VoConfig, run_vo
 
-from oracle_vo import compose_positions, cv2_vo_relative
+from oracle_vo import compose_positions, cv2_vo_relative_cached as cv2_vo_relative
 
 N_FRAMES = 160
 # THE unified config: bench.py asserts its benched config equals this.

@@ -435,3 +435,46 @@ def test_onehot_segment_method_matches_scatter(rng):
     )
     err_s, err_o = float(out_scatter[3]), float(out_onehot[3])
     assert abs(err_s - err_o) <= 1e-6 * max(err_s, 1.0), (err_s, err_o)
+
+
+def test_gather_segment_method_matches_scatter(rng):
+    """ba_solve's gather-mode reductions (per-landmark observer TABLE built
+    once per solve; every segment sum a gather + K-wide sum, the TPU
+    LM-iteration fast path) must match the scatter-add path up to summation
+    order — including with a slack K (padding rows must contribute exact
+    zeros) and with masked-out observations."""
+    from slamtpu.mapping.bundle_adjustment import BaConfig
+
+    cam, _, _, noisy_poses, noisy_points, observations = make_ba_problem(
+        rng, n_poses=5, n_points=24
+    )
+    rot = jnp.asarray(np.stack([p[0] for p in noisy_poses]))
+    trans = jnp.asarray(np.stack([p[1] for p in noisy_poses]))
+    pts = jnp.asarray(np.stack(noisy_points))
+    obs = ObservationBatch.from_list(observations)
+    # Mask a few observations out: the table build must skip them.
+    mask = np.asarray(obs.mask).copy()
+    mask[:: 7] = False
+    obs = obs._replace(mask=jnp.asarray(mask))
+    k_exact = int(np.bincount(np.asarray(obs.pt_idx)[mask]).max())
+
+    out_scatter = ba_solve(
+        cam, rot, trans, pts, obs, BaConfig(max_iterations=4),
+        segment_method="scatter",
+    )
+    for k in (k_exact, k_exact + 3):
+        out_gather = ba_solve(
+            cam, rot, trans, pts, obs, BaConfig(max_iterations=4),
+            segment_method="gather", gather_k_pt=k,
+        )
+        np.testing.assert_allclose(
+            np.asarray(out_gather[0]), np.asarray(out_scatter[0]), rtol=0, atol=1e-6
+        )
+        np.testing.assert_allclose(
+            np.asarray(out_gather[1]), np.asarray(out_scatter[1]), rtol=0, atol=1e-5
+        )
+        np.testing.assert_allclose(
+            np.asarray(out_gather[2]), np.asarray(out_scatter[2]), rtol=0, atol=1e-4
+        )
+        err_s, err_g = float(out_scatter[3]), float(out_gather[3])
+        assert abs(err_s - err_g) <= 1e-6 * max(err_s, 1.0), (err_s, err_g)

@@ -43,3 +43,31 @@ def test_pallas_blank_image():
     imgs = np.zeros((1, 64, 128), np.float32)
     out = np.asarray(corner_response(jnp.asarray(imgs), 20.0, interpret=True))
     assert not np.isfinite(out).any()
+
+
+def test_pallas_patch_matches_dynamic_slice():
+    """ops/pallas_patch.extract_patches_batched (interpret mode on CPU) must
+    reproduce the vmapped dynamic_slice path bit-for-bit, including clamped
+    out-of-range starts and the aligned-load + dynamic-roll window cut."""
+    import jax
+    import jax.numpy as jnp
+
+    from slamtpu.ops.brief import PATCH_RADIUS, extract_patches
+    from slamtpu.ops.pallas_patch import extract_patches_batched
+
+    rng = np.random.default_rng(7)
+    b, h, w, k, r = 3, 90, 260, 17, PATCH_RADIUS
+    imgs = jnp.asarray(rng.uniform(0, 255, (b, h, w)).astype(np.float32))
+    xy = np.stack(
+        [rng.integers(r, w - r, (b, k)), rng.integers(r, h - r, (b, k))], -1
+    )
+    # A few edge-hugging keypoints exercise the clamp.
+    xy[:, 0] = (r, r)
+    xy[:, 1] = (w - r - 1, h - r - 1)
+    starts = jnp.asarray((xy - r).astype(np.int32))
+
+    ref = jax.vmap(lambda i, kk: extract_patches(i, kk.astype(jnp.float32), r))(
+        imgs, jnp.asarray(xy, jnp.float32)
+    )
+    out = extract_patches_batched(imgs, starts, r, interpret=True)
+    np.testing.assert_array_equal(np.asarray(ref), np.asarray(out))

@@ -108,9 +108,66 @@ def main():
 
         return jax.jit(fn)
 
+    from slamtpu.feature.detector import _subpixel_offsets
+    from slamtpu.ops.brief import brief_descriptors_binned, extract_patches, orientation
+
+    def kp_prefix(sub):
+        """Finer prefixes INSIDE the keypoint stage (r5): 0 = +topk/subpixel,
+        1 = +patches, 2 = +orientation, 3 = +brief (== full)."""
+
+        def fn(images):
+            pyr = build_pyramid(images, config.n_levels, config.scale_factor)
+            blurred = [gaussian_blur(l) for l in pyr]
+            outs = []
+            for level, (l, quota) in enumerate(zip(pyr, quotas)):
+                if quota == 0:
+                    continue
+                want_sub = config.subpixel and level <= config.subpixel_max_octave
+                maps = _ranked_corner_maps(l, config, with_harris=want_sub)
+                ranked, harris = maps if want_sub else (maps, None)
+
+                def level_fn(r, img, bl, h=None):
+                    hh, ww = img.shape
+                    row = jnp.arange(hh)[:, None]
+                    col = jnp.arange(ww)[None, :]
+                    m = config.edge_threshold
+                    interior = (row >= m) & (row < hh - m) & (col >= m) & (col < ww - m)
+                    r = jnp.where(interior, r, -jnp.inf).reshape(-1)
+                    top_vals, top_idx = jax.lax.approx_max_k(r, quota, recall_target=0.95)
+                    mask = jnp.isfinite(top_vals)
+                    x = jnp.where(mask, (top_idx % ww).astype(jnp.float32), ww // 2)
+                    y = jnp.where(mask, (top_idx // ww).astype(jnp.float32), hh // 2)
+                    xy = jnp.stack([x, y], axis=-1)
+                    xy_out = xy + _subpixel_offsets(h, xy) if h is not None else xy
+                    if sub == 0:
+                        return xy_out.sum()
+                    patches = extract_patches(bl, xy, PATCH_RADIUS)
+                    if sub == 1:
+                        return xy_out.sum() + patches.sum()
+                    ang = orientation(patches)
+                    if sub == 2:
+                        return xy_out.sum() + patches.sum() + ang.sum()
+                    desc = brief_descriptors_binned(patches, ang, config.descriptor_bins)
+                    return xy_out.sum() + ang.sum() + desc.astype(jnp.int32).sum()
+
+                if want_sub:
+                    outs.append(jax.vmap(level_fn)(ranked, l, blurred[level], harris))
+                else:
+                    outs.append(
+                        jax.vmap(lambda r, i, bl: level_fn(r, i, bl))(
+                            ranked, l, blurred[level]
+                        )
+                    )
+            return outs
+
+        return jax.jit(fn)
+
     t_pyr = timeit("pyramid (8 levels)", prefix(0), fv)
     t_blur = timeit("+ gaussian blur", prefix(1), fv)
     t_corner = timeit("+ corner maps (pallas)", prefix(2), fv)
+    t_topk = timeit("+ topk/subpixel", kp_prefix(0), fv)
+    t_patch = timeit("+ patches", kp_prefix(1), fv)
+    t_orient = timeit("+ orientation", kp_prefix(2), fv)
     t_full = timeit("+ topk/patches/orientation/brief", prefix(3), fv)
     t_api = timeit("detect_and_compute (api)", jax.jit(lambda f: detect_and_compute(f, config)), fv)
 
@@ -119,6 +176,10 @@ def main():
         ("pyramid", t_pyr),
         ("blur", t_blur - t_pyr),
         ("corner maps", t_corner - t_blur),
+        ("topk+subpixel", t_topk - t_corner),
+        ("patches", t_patch - t_topk),
+        ("orientation", t_orient - t_patch),
+        ("brief", t_full - t_orient),
         ("keypoint stages", t_full - t_corner),
         ("(api total)", t_api),
     ]:

@@ -49,7 +49,6 @@ ORIG = {
     "map_find_matches": pc.map_find_matches,
     "map_insert": pc.map_insert,
     "map_update_observations": pc.map_update_observations,
-    "_reproj_distance": pc._reproj_distance,
 }
 
 
@@ -58,9 +57,14 @@ def stub_triangulate(intrinsics, pose1, pose2, p1, p2, **kw):
     return jnp.zeros((n, 3), jnp.float32) + 5.0, jnp.ones((n,), bool)
 
 
-def stub_find_matches(state, intrinsics, desc, mask, rot, trans, ratio=2.0):
+def stub_find_matches(state, intrinsics, desc, mask, rot, trans, ratio=2.0,
+                      map_bits=None, map_pops=None, frame_xy=None):
     cap = state.capacity
-    return jnp.zeros((cap,), jnp.int32), jnp.zeros((cap,), bool)
+    idx = jnp.zeros((cap,), jnp.int32)
+    good = jnp.zeros((cap,), bool)
+    if frame_xy is None:
+        return idx, good
+    return idx, good, jnp.zeros((cap,), jnp.float32)
 
 
 def stub_insert(state, positions, descriptors, mask):
@@ -69,10 +73,6 @@ def stub_insert(state, positions, descriptors, mask):
 
 def stub_update_obs(state, matched):
     return state
-
-
-def stub_reproj(state, intrinsics, rot, trans, idx, xy):
-    return jnp.zeros((state.capacity,), jnp.float32)
 
 
 def run_variant(name, frames, cam, patches):
@@ -109,7 +109,6 @@ ALL_STUBS = {
     "map_find_matches": stub_find_matches,
     "map_insert": stub_insert,
     "map_update_observations": stub_update_obs,
-    "_reproj_distance": stub_reproj,
 }
 
 
@@ -139,7 +138,6 @@ def main():
         run_variant("- triangulation", frames, cam, {"triangulate_points": stub_triangulate})
         run_variant("- find_matches", frames, cam, {"map_find_matches": stub_find_matches})
         run_variant("- insert", frames, cam, {"map_insert": stub_insert})
-        run_variant("- reproj gate", frames, cam, {"_reproj_distance": stub_reproj})
         run_variant("- all map ops", frames, cam, ALL_STUBS)
     if "skeleton" in which:
         # Per-chunk dispatch cost: same program, 1 chunk vs 8.

@@ -40,6 +40,22 @@ def main(argv=None):
     ap.add_argument("--max-frames", type=int)
     ap.add_argument("--out", default="kitti_run")
     ap.add_argument("--chunk", type=int, default=32)
+    ap.add_argument(
+        "--synthetic-shape", type=int, nargs=2, default=(376, 1241),
+        metavar=("H", "W"),
+        help="frame size for the synthetic dry run (intrinsics are rescaled); "
+        "the regression test uses a reduced size so the kit's whole path "
+        "stays cheap enough to run in the fast tier",
+    )
+    ap.add_argument(
+        "--global-ba", action="store_true",
+        help="run one joint bundle adjustment over ALL keyframes and logged "
+        "observations after the flagship pass (pipeline.run_global_ba; "
+        "auto-selects dense vs co-observation Schur) and report the total "
+        "reprojection error before/after — the capability the TPU build "
+        "claims over the reference's diagnostic-only BA "
+        "(point_cloud.rs:309-371)",
+    )
     args = ap.parse_args(argv)
 
     from slamtpu.pipeline.vo import VoConfig, run_vo
@@ -52,11 +68,18 @@ def main(argv=None):
     gt_poses = None  # [T, 4, 4] camera-to-world
     if args.sequence == "synthetic":
         from slamtpu.io.synthetic import render_sequence_cached
+        from slamtpu.odometry.camera import CameraIntrinsics
 
         n = args.max_frames or 120
+        height, width = args.synthetic_shape
+        # KITTI intrinsics rescaled to the requested frame size (cx=607 on a
+        # narrow frame would push every sprite out of view).
+        k = CameraIntrinsics.kitti()
+        sy, sx = height / 376.0, width / 1241.0
+        cam_s = CameraIntrinsics(k.fx * sx, k.fy * sy, k.cx * sx, k.cy * sy)
         scene = render_sequence_cached(
-            n_frames=n, height=376, width=1241, n_points=4000, step=0.8,
-            seed=0, noise=2.0, motion="forward", textured=True,
+            n_frames=n, height=height, width=width, n_points=4000, step=0.8,
+            intrinsics=cam_s, seed=0, noise=2.0, motion="forward", textured=True,
         )
         frames, cam = scene.frames, scene.intrinsics
         # world-to-camera (R, t) -> camera-to-world 4x4 (the GT format the
@@ -158,6 +181,24 @@ def main(argv=None):
         f"{int(np.asarray(res.map_state.valid).sum())} landmarks ({stable} stable), "
         f"{res.ba_runs} BA runs, {(frames.shape[0] - 1) / pc_s:.1f} frames/s (incl. compile)"
     )
+    if args.global_ba:
+        from slamtpu.pipeline.point_cloud import run_global_ba
+
+        t0 = time.time()
+        res, err_before, err_after = run_global_ba(res, cam)
+        print(
+            f"global BA: total reprojection error {err_before:.1f} -> "
+            f"{err_after:.1f} ({time.time() - t0:.1f}s, "
+            f"{res.keyframe_frame_idx.shape[0]} poses)"
+        )
+        summary["global_ba"] = {
+            "err_before": float(err_before),
+            "err_after": float(err_after),
+        }
+        # The joint solve must not make the map worse (NaN-safe rollback
+        # inside ba_solve guarantees this up to the last accepted step).
+        gates["global_ba_no_worse"] = bool(err_after <= err_before * 1.001)
+
     from slamtpu.io.export import save_json, save_ply
 
     save_ply(res.points(), os.path.join(args.out, "point_cloud.ply"))
