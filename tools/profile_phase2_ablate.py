@@ -140,8 +140,9 @@ def main():
         run_variant("- insert", frames, cam, {"map_insert": stub_insert})
         run_variant("- all map ops", frames, cam, ALL_STUBS)
     if "skeleton" in which:
-        # Per-chunk dispatch cost: same program, 1 chunk vs 8.
-        run_skeleton("base chunk=256", frames, cam, chunk=256)
+        # (A "1 chunk vs 8" dispatch-cost variant used chunk=256 here; the
+        # detector batch guard now rejects it — batch >= 33 hard-crashes the
+        # v5e worker, detector.py module note.)
         # Scan+cond floor: every step takes the `skipped` branch.
         run_skeleton("no keyframes (skip branch)", frames, cam, no_keyframes=True)
         # Frontend-only floor: phase-2 chunk bypassed entirely.
