@@ -988,6 +988,29 @@ def _fused_phase2_chunk(
     return jax.lax.scan(step, carry, xs)
 
 
+@functools.partial(jax.jit, static_argnames=("config",))
+def _flagship_chunk(
+    c1_feats, c1_kf, c1_pose, carry2, block, keys, intrinsics,
+    config: PointCloudConfig, step_mask, prev_frame,
+):
+    """Frontend + fused phase 2 as ONE device program per chunk.
+
+    The split form dispatched two programs per chunk; through this
+    environment's relay each dispatch costs ~10 ms of host-side arg
+    serialization, ~0.15 s across a 257-frame run — measured r5: merged
+    421 fps median vs 380 split on the flagship bench scene. Values are
+    identical (the same two functions, inlined)."""
+    carry1, res, feats = vo_frontend(
+        c1_feats, c1_kf, c1_pose, block, keys, intrinsics, config.vo,
+        step_mask, prev_frame,
+    )
+    carry2, outs = _fused_phase2_chunk(
+        carry2, feats, res.rotations, res.translations,
+        res.is_keyframe & res.success, intrinsics, config,
+    )
+    return carry1, carry2, res, outs
+
+
 def run_point_cloud_fused(
     frames,
     intrinsics: CameraIntrinsics,
@@ -1030,7 +1053,6 @@ def run_point_cloud_fused(
     keys = jax.random.split(jax.random.PRNGKey(seed), max(n_pairs, 1))
     chunk = chunk_size or max(n_pairs, 1)  # single-frame clip: no pairs, avoid a zero range step
 
-    frontend = jax.jit(vo_frontend, static_argnames=("config",))
     dtype = jnp.float64 if jax.config.jax_enable_x64 else jnp.float32
 
     feats0 = jax.tree_util.tree_map(
@@ -1078,22 +1100,17 @@ def run_point_cloud_fused(
     step_outs = []
     res_list = []
 
-    # NOTE on cold start: the frontend and the fused phase-2 scan are
-    # independent programs compiled back to back on first use. Overlapping
-    # the two compiles on a background thread was tried (r5) and does NOT
-    # help on this runtime — the remote compile helper serializes concurrent
-    # requests, so the thread only added contention. The persistent
-    # compilation cache remains the cold-start story.
+    # NOTE on cold start: overlapping compiles on a background thread was
+    # tried (r5) and does NOT help on this runtime — the remote compile
+    # helper serializes concurrent requests. The persistent compilation
+    # cache remains the cold-start story.
     for start in range(0, n_pairs, chunk):
         stop = min(start + chunk, n_pairs)
         block = frames[start + 1 : stop + 1]
-        carry1, res, feats_new = frontend(
-            carry1[0], carry1[1], carry1[2], block, keys[start:stop], intrinsics, config.vo,
+        carry1, carry2, res, outs = _flagship_chunk(
+            carry1[0], carry1[1], carry1[2], carry2, block, keys[start:stop],
+            intrinsics, config,
             None, frames[start] if config.vo.refine_matches else None,
-        )
-        carry2, outs = _fused_phase2_chunk(
-            carry2, feats_new, res.rotations, res.translations,
-            res.is_keyframe & res.success, intrinsics, config,
         )
         step_outs.append(outs)
         res_list.append(res)

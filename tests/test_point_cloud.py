@@ -277,7 +277,9 @@ def test_long_sequence_compile_once_and_flat_memory():
         gc.collect()
         return sum(int(np.prod(a.shape)) * a.dtype.itemsize for a in jax.live_arrays())
 
-    pc._fused_phase2_chunk.clear_cache()
+    # r5: the fused pipeline dispatches ONE merged frontend+phase-2 program
+    # per chunk (_flagship_chunk); the compile-once guard tracks it.
+    pc._flagship_chunk.clear_cache()
     base = live_device_bytes()
     fused = pc.run_point_cloud_fused(scene.frames, scene.intrinsics, cfg, chunk_size=8)
 
@@ -287,7 +289,7 @@ def test_long_sequence_compile_once_and_flat_memory():
     assert len(fused.keyframe_frame_idx) >= 21
 
     # One chunk shape (32 pairs / chunk 8) -> exactly one compiled program.
-    assert pc._fused_phase2_chunk._cache_size() == 1
+    assert pc._flagship_chunk._cache_size() == 1
 
     del fused
     growth = live_device_bytes() - base
