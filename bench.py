@@ -557,9 +557,11 @@ def _secondary_metrics(jax, frames, cam, config, blocks, keys, chunk, force, log
     # step can only increase the (near-zero) error, so the divergence
     # rollback stops the loop before the forced iteration count and the
     # differencing collapses (measured: i4 == i2 -> garbage marginal).
-    # A perturbed start gives every iteration a real descent direction.
-    pts_g0 = pts_g + rng.normal(scale=0.05, size=pts_g.shape).astype(np.float32)
-    trans_g0 = trans_g + rng.normal(scale=0.01, size=trans_g.shape).astype(np.float32)
+    # The perturbation must be LARGE enough that 4 iterations all do real
+    # descent (a 0.05-sigma point nudge converged in 1-2 and then
+    # early-stopped anyway).
+    pts_g0 = pts_g + rng.normal(scale=0.8, size=pts_g.shape).astype(np.float32)
+    trans_g0 = trans_g + rng.normal(scale=0.1, size=trans_g.shape).astype(np.float32)
 
     def timed_solve_g(n_iter, rep):
         out = solvers_g[n_iter](
@@ -711,11 +713,14 @@ def _flagship_metric(jax, frames, cam, chunk, force, log):
     # ~2 ms over production PCIe — it is link cost, not pipeline cost. The
     # compute number still covers EVERYTHING the pipeline executes
     # (frontend, matching, triangulation, map ops, windowed BA, pruning).
-    # Median of 3 timed runs, distinct seeds (the runtime memoizes identical
-    # executions; single-run flagship numbers move +-20% with tunnel/session
-    # jitter — r4's 294-vs-241 spread was largely this).
+    # Median of 5 timed runs, distinct seeds, after one discarded
+    # post-warmup run (the runtime memoizes identical executions;
+    # single-run flagship numbers move +-20% with tunnel/session jitter —
+    # r4's 294-vs-241 spread was largely this, and the first post-warmup
+    # run is reliably the slowest).
+    run_point_cloud_fused(dev_frames, cam, cfg, chunk_size=chunk, seed=9)
     compute_ts, total_ts = [], []
-    for seed in (2, 3, 4):
+    for seed in (2, 3, 4, 5, 6):
         marks = {}
         t0 = time.time()
         res = run_point_cloud_fused(

@@ -3,15 +3,21 @@
 #
 # XLA:CPU's LLVM codegen crashes flakily (SIGABRT/SIGSEGV, ~once per few
 # hundred compiles) in both the compile and the cache-deserialize paths on
-# this single-core host; one crash kills the whole pytest process. Running
-# each test file in its own process and retrying crashed files up to
-# MAX_RETRY times bounds the blast radius to one file, and the persistent
-# compilation cache (tests/conftest.py) makes retries cheap.
+# this single-core host; one crash kills the whole pytest process. Each
+# test file runs in its own process (BATCH_FILES=1) so a crash's blast
+# radius is one file; a failing/crashed batch falls back to per-file runs
+# so the report names the exact culprit. BATCH_FILES>1 groups files per
+# process — measured r5: no wall-clock win (warm fast tier 22.9 min
+# per-file vs 24.6 min at BATCH_FILES=5; the suite is compute-bound on
+# this 1-core host, not process-overhead-bound), so per-file stays the
+# default. The persistent compilation cache (tests/conftest.py) makes
+# retries cheap.
 #
 # Usage: tools/run_tests.sh [extra pytest args...]
 set -u
 cd "$(dirname "$0")/.."
 MAX_RETRY=${MAX_RETRY:-2}
+BATCH_FILES=${BATCH_FILES:-1}
 # Fast tier by default: full-size gates are marked `slow` and re-run the
 # SAME gate math at larger scale — include them with RUN_SLOW=1 (nightly
 # posture). The fast tier covers every gate's logic in minutes.
@@ -19,42 +25,62 @@ MARKER_ARGS=(-m "not slow")
 [ "${RUN_SLOW:-0}" = "1" ] && MARKER_ARGS=()
 fail_files=()
 crash_files=()
-for f in tests/test_*.py; do
-  ok=0
-  for attempt in $(seq 0 "$MAX_RETRY"); do
-    python -m pytest "$f" -q -p no:cacheprovider "${MARKER_ARGS[@]}" "$@"
-    rc=$?
-    if [ "$rc" -eq 5 ] && [ "${#MARKER_ARGS[@]}" -gt 0 ]; then
-      # rc=5 = "no tests collected" under the fast tier's marker filter.
-      # Legitimate ONLY for an all-slow file (e.g. test_distributed.py);
-      # verify the file collects tests WITHOUT the filter so a collection
-      # regression (typo'd names, import-level skip wiping the file) cannot
-      # read as green (ADVICE r4).
-      if python -m pytest "$f" -q -p no:cacheprovider --collect-only >/dev/null 2>&1; then
-        ok=1
-        break
-      fi
-      echo "rc=5 in $f but unfiltered collection finds no tests either — failing" >&2
-      rc=1
-      break
+
+# run_pytest <files...>: returns pytest's rc, with the fast tier's rc=5
+# ("no tests collected") accepted ONLY when unfiltered collection finds
+# tests (an all-slow file, e.g. test_distributed.py — ADVICE r4).
+run_pytest() {
+  python -m pytest "$@" -q -p no:cacheprovider "${MARKER_ARGS[@]}" "${EXTRA_ARGS[@]}"
+  local rc=$?
+  if [ "$rc" -eq 5 ] && [ "${#MARKER_ARGS[@]}" -gt 0 ]; then
+    if python -m pytest "$@" -q -p no:cacheprovider --collect-only >/dev/null 2>&1; then
+      return 0
     fi
+    echo "rc=5 in $* but unfiltered collection finds no tests either — failing" >&2
+    return 1
+  fi
+  return "$rc"
+}
+
+# run_with_retry <files...>: 0 = pass, 1 = test failure, 2 = crash (after
+# retries), 130 = interrupted.
+run_with_retry() {
+  local rc attempt
+  for attempt in $(seq 0 "$MAX_RETRY"); do
+    run_pytest "$@"
+    rc=$?
     if [ "$rc" -eq 0 ]; then
-      ok=1
-      break
+      return 0
     elif [ "$rc" -eq 130 ] || [ "$rc" -eq 2 ]; then
-      # SIGINT / keyboard interrupt: the user wants OUT, not a retry.
-      echo "Interrupted (rc=$rc) in $f — aborting" >&2
+      echo "Interrupted (rc=$rc) in $* — aborting" >&2
       exit 130
     elif [ "$rc" -ge 128 ] || [ "$rc" -eq 134 ] || [ "$rc" -eq 139 ]; then
-      echo "CRASH rc=$rc in $f (attempt $attempt)" >&2
+      echo "CRASH rc=$rc in $* (attempt $attempt)" >&2
     else
-      # genuine test failure: no point retrying
-      break
+      return 1  # genuine test failure: no point retrying
     fi
   done
-  if [ "$ok" -ne 1 ]; then
-    if [ "${rc:-1}" -ge 128 ]; then crash_files+=("$f"); else fail_files+=("$f"); fi
-  fi
+  return 2
+}
+
+EXTRA_ARGS=("$@")
+all_files=(tests/test_*.py)
+n=${#all_files[@]}
+for ((i = 0; i < n; i += BATCH_FILES)); do
+  batch=("${all_files[@]:i:BATCH_FILES}")
+  run_with_retry "${batch[@]}"
+  rc=$?
+  [ "$rc" -eq 0 ] && continue
+  # Localize: rerun the batch per file so the summary names the culprit
+  # (a crash may also be batch-composition-dependent — per-file retries
+  # give each file a clean process).
+  echo "batch result rc=$rc — rerunning per file: ${batch[*]}" >&2
+  for f in "${batch[@]}"; do
+    run_with_retry "$f"
+    rc=$?
+    if [ "$rc" -eq 1 ]; then fail_files+=("$f");
+    elif [ "$rc" -eq 2 ]; then crash_files+=("$f"); fi
+  done
 done
 echo "================================================================"
 if [ "${#fail_files[@]}" -eq 0 ] && [ "${#crash_files[@]}" -eq 0 ]; then
